@@ -1,0 +1,39 @@
+"""krylovkit_tpu — a TPU-native Krylov-subspace framework in JAX.
+
+A from-scratch re-design of the capabilities of KrylovKit.jl (the reference at
+/root/reference) for TPU hardware: pytree vectors (shardable over a
+``jax.sharding.Mesh``), a dense stacked Krylov basis whose hot kernels are MXU
+GEMMs, fully-jitted ``lax.while_loop`` solver drivers with static shapes, and
+on-device small dense linear algebra for the projected problems.
+
+Public API (mirroring the reference's exported surface, src/KrylovKit.jl:22-44):
+  linsolve, lssolve, eigsolve, schursolve, realeigsolve, geneigsolve, svdsolve,
+  exponentiate, expintegrator, plus algorithm structs and orthogonalizers.
+"""
+
+from .info import ConvergenceInfo, SILENT, WARN, STARTSTOP, EACHITERATION  # noqa: F401
+from .algorithms import (  # noqa: F401
+    KrylovDefaults,
+    Lanczos,
+    BlockLanczos,
+    Arnoldi,
+    BiArnoldi,
+    GKL,
+    GolubYe,
+    CG,
+    MINRES,
+    GMRES,
+    BiCGStab,
+    LSMR,
+    EigSorter,
+    cgs,
+    mgs,
+    cgs2,
+    mgs2,
+    cgsir,
+    mgsir,
+)
+from .ops.vector import VectorSpace  # noqa: F401
+from .ops.operator import LinearOperator, as_operator  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,140 @@
+"""Stacked orthonormal basis — TPU-native analogue of ``OrthonormalBasis``.
+
+The reference stores the Krylov basis as a growable list of vectors
+(``src/orthonormal.jl:26-60``) and hand-threads BLAS-2-like kernels over it
+(``project!!`` ``src/orthonormal.jl:88-118``, ``unproject!!`` ``:132-196``,
+``basistransform!`` ``:291-354``).  On TPU the right layout is a *dense stacked
+array*: every pytree leaf of the vector gains a leading axis of static size
+``kmax`` (the Krylov dimension), so that
+
+* ``project``   (``Vᴴ x``)  is one GEMV/GEMM per leaf + a scalar tree-sum
+  (→ a single ``psum`` when the vector dimension is sharded),
+* ``unproject`` (``V c``)   is one GEMV per leaf, purely local under row sharding,
+* ``transform`` (``V ← V U``) is one GEMM per leaf — the thick-restart operation,
+
+all mapping straight onto the MXU with static shapes.  The "current length" ``k``
+is a traced integer; inactivity is expressed by masks, never by dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .vector import VectorSpace, STANDARD
+
+PyTree = Any
+_HI = jax.lax.Precision.HIGHEST
+
+__all__ = [
+    "alloc",
+    "get",
+    "set",
+    "project",
+    "unproject",
+    "transform",
+    "append_scaled",
+    "mask_coeffs",
+]
+
+
+def alloc(template: PyTree, kmax: int, dtype=None) -> PyTree:
+    """Allocate a zeroed basis of capacity ``kmax`` shaped like ``template``."""
+    return jax.tree_util.tree_map(
+        lambda l: jnp.zeros((kmax,) + l.shape, dtype=dtype or l.dtype), template
+    )
+
+
+def get(V: PyTree, j) -> PyTree:
+    """Basis vector ``V[j]`` (j may be traced)."""
+    return jax.tree_util.tree_map(
+        lambda l: jax.lax.dynamic_index_in_dim(l, j, axis=0, keepdims=False), V
+    )
+
+
+def set(V: PyTree, j, v: PyTree) -> PyTree:
+    """Functional update ``V[j] = v``."""
+    return jax.tree_util.tree_map(
+        lambda lV, lv: jax.lax.dynamic_update_index_in_dim(
+            lV, lv.astype(lV.dtype), j, axis=0
+        ),
+        V,
+        v,
+    )
+
+
+def mask_coeffs(c: jax.Array, k) -> jax.Array:
+    """Zero out entries ``j >= k`` of a coefficient vector."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    return jnp.where(idx < k, c, 0)
+
+
+def project(V: PyTree, x: PyTree, k, space: VectorSpace = STANDARD) -> jax.Array:
+    """``c[j] = <V[j], x>`` for ``j < k``, zero beyond — the ``Vᴴx`` kernel.
+
+    Reference: ``project!!`` (``src/orthonormal.jl:88-118``), which the reference
+    multithreads per basis vector; here it is a batched contraction (GEMV per
+    leaf), one reduction → one ``psum`` on a sharded mesh.
+    """
+    if space.inner_fn is None:
+        parts = []
+        for lV, lx in zip(jax.tree_util.tree_leaves(V), jax.tree_util.tree_leaves(x)):
+            n = lx.size
+            c = jnp.matmul(
+                lV.reshape(lV.shape[0], n).conj(),
+                lx.reshape(n).astype(jnp.result_type(lV.dtype, lx.dtype)),
+                precision=_HI,
+            )
+            parts.append(c)
+        c = sum(parts[1:], parts[0])
+        if space.real_inner:
+            c = jnp.real(c)
+    else:
+        c = jax.vmap(lambda b: space.inner(b, x))(V)
+    return mask_coeffs(c, k)
+
+
+def unproject(V: PyTree, c: jax.Array) -> PyTree:
+    """``y = Σ_j c[j] V[j]`` — the ``V c`` kernel (reference ``unproject!!``,
+    ``src/orthonormal.jl:132-196``).  Caller is responsible for masking ``c``."""
+
+    def leaf(lV):
+        n = lV[0].size
+        y = jnp.matmul(
+            c.astype(jnp.result_type(c.dtype, lV.dtype)),
+            lV.reshape(lV.shape[0], n),
+            precision=_HI,
+        )
+        return y.reshape(lV.shape[1:])
+
+    return jax.tree_util.tree_map(leaf, V)
+
+
+def transform(V: PyTree, U: jax.Array) -> PyTree:
+    """``V ← V @ U``: new basis vector ``m`` is ``Σ_j U[j, m] V[j]``.
+
+    The thick-restart rotation (reference ``basistransform!``,
+    ``src/orthonormal.jl:291-354``).  One GEMM per leaf on the MXU; under row
+    sharding of the vector dimension this is embarrassingly local.
+    ``U`` has shape ``(kmax, kmax)`` (masked columns for inactive output slots).
+    """
+
+    def leaf(lV):
+        kmax = lV.shape[0]
+        n = lV[0].size
+        out = jnp.matmul(
+            U.T.astype(jnp.result_type(U.dtype, lV.dtype)),
+            lV.reshape(kmax, n),
+            precision=_HI,
+        )
+        return out.reshape(lV.shape).astype(lV.dtype)
+
+    return jax.tree_util.tree_map(leaf, V)
+
+
+def append_scaled(y: PyTree, V: PyTree, c: jax.Array, alpha=1.0) -> PyTree:
+    """``y + alpha * (V c)`` fused."""
+    vc = unproject(V, c)
+    return jax.tree_util.tree_map(lambda ly, lv: ly + alpha * lv, y, vc)

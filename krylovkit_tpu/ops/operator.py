@@ -1,0 +1,133 @@
+"""Linear-operator protocol — TPU-native analogue of the reference's ``apply`` layer.
+
+The reference dispatches operator application on three encodings
+(``src/apply.jl:1-23``):
+
+* an ``AbstractMatrix`` applied via ``*``,
+* an arbitrary callable applied via call,
+* a two-sided encoding for adjoint problems: a ``(f, fadjoint)`` tuple or a
+  flag-taking function.
+
+Here the canonical form is a :class:`LinearOperator` holding jittable
+``normal``/``adjoint`` callables on pytrees.  Improvements over the reference made
+possible by JAX:
+
+* for a plain callable with no user-supplied adjoint, the adjoint is derived
+  automatically with ``jax.linear_transpose`` (the reference requires the user to
+  pass the adjoint explicitly for two-sided problems);
+* a fused ``a0*x + a1*A(x)`` apply (the reference's ``apply(f, x, a0, a1)``,
+  ``src/apply.jl:5-11``) keeps the shift elementwise-fused into the operator's
+  output under XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from . import vector as vec
+
+PyTree = Any
+OperatorLike = Union[jax.Array, Callable, Tuple]
+
+__all__ = ["LinearOperator", "as_operator", "as_generalized_pair", "apply_shifted"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearOperator:
+    """A linear map on pytree vectors with optional adjoint.
+
+    ``normal(x)`` computes ``A x``; ``adjoint(y)`` computes ``Aᴴ y``.  Both must be
+    jit-traceable.  ``adjoint`` may be ``None`` when the problem never needs it.
+    """
+
+    normal: Callable[[PyTree], PyTree]
+    adjoint: Optional[Callable[[PyTree], PyTree]] = None
+
+    def __call__(self, x: PyTree) -> PyTree:
+        return self.normal(x)
+
+    def apply_adjoint(self, y: PyTree) -> PyTree:
+        if self.adjoint is None:
+            raise ValueError(
+                "this operator has no adjoint; pass a (f, fadjoint) tuple, a matrix, "
+                "or let as_operator derive one with with_adjoint_from(x_template)"
+            )
+        return self.adjoint(y)
+
+    def with_adjoint_from(self, x_template: PyTree) -> "LinearOperator":
+        """Return an operator whose adjoint is auto-derived via linear transpose.
+
+        For a complex-linear map ``f``, ``Aᴴ y = conj(fᵀ(conj(y)))``.  ``fᵀ`` comes
+        from ``jax.linear_transpose`` on the template structure.
+        """
+        if self.adjoint is not None:
+            return self
+        f = self.normal
+
+        def adj(y):
+            ybar = jax.tree_util.tree_map(jnp.conj, y)
+            (xbar,) = jax.linear_transpose(f, x_template)(ybar)
+            return jax.tree_util.tree_map(jnp.conj, xbar)
+
+        return LinearOperator(f, adj)
+
+
+def _matrix_operator(A: jax.Array) -> LinearOperator:
+    if A.ndim != 2:
+        raise ValueError(f"operator array must be 2-D, got shape {A.shape}")
+
+    def normal(x):
+        return jnp.matmul(A, x, precision=jax.lax.Precision.HIGHEST)
+
+    def adjoint(y):
+        return jnp.matmul(A.conj().T, y, precision=jax.lax.Precision.HIGHEST)
+
+    return LinearOperator(normal, adjoint)
+
+
+def as_operator(A: OperatorLike) -> LinearOperator:
+    """Normalize any supported operator encoding into a :class:`LinearOperator`.
+
+    Mirrors the reference's dispatch (``src/apply.jl:14-19``): matrix, callable, or
+    ``(f, fadjoint)`` tuple.
+    """
+    if isinstance(A, LinearOperator):
+        return A
+    if isinstance(A, tuple):
+        if len(A) != 2:
+            raise ValueError("tuple operator must be (f, fadjoint)")
+        f, fadj = A
+        fop = as_operator(f)
+        fadjop = as_operator(fadj)
+        return LinearOperator(fop.normal, fadjop.normal)
+    if callable(A) and not isinstance(A, jax.Array):
+        return LinearOperator(A, None)
+    arr = jnp.asarray(A)
+    return _matrix_operator(arr)
+
+
+def as_generalized_pair(AB) -> Tuple[LinearOperator, Optional[LinearOperator]]:
+    """Normalize the ``(A, B)`` encoding of generalized eigenproblems
+    (reference ``genapply``, ``src/apply.jl:22-23``).  ``B=None`` means identity."""
+    if isinstance(AB, tuple) and len(AB) == 2:
+        A, B = AB
+        return as_operator(A), (as_operator(B) if B is not None else None)
+    return as_operator(AB), None
+
+
+def apply_shifted(op: LinearOperator, x: PyTree, a0, a1) -> PyTree:
+    """Fused ``a0*x + a1*A(x)`` (reference ``src/apply.jl:5-11``)."""
+    ax = op(x)
+    return jax.tree_util.tree_map(lambda lx, la: a0 * lx + a1 * la, x, ax)
+
+
+def probe_dtype(op: LinearOperator, x0: PyTree):
+    """Scalar type of the problem from one (abstract) operator application —
+    the reference's ``apply_scalartype`` (``src/apply.jl:26-36``).  Uses
+    ``jax.eval_shape`` so no FLOPs are spent on the probe."""
+    out = jax.eval_shape(op.normal, x0)
+    return vec.scalartype(out, x0)
