@@ -76,7 +76,18 @@ def mat_with_eigrepition(rng, m, nrep, dtype):
 
 def eig_close(got, want, tol):
     """Permutation-tolerant eigenvalue comparison (reference ``≊``,
-    test/testsetup.jl:18-29)."""
-    got = np.sort_complex(np.atleast_1d(np.asarray(got)))
-    want = np.sort_complex(np.atleast_1d(np.asarray(want)))
-    return np.allclose(got, want, rtol=0, atol=tol * max(1.0, float(np.max(abs(want)))))
+    test/testsetup.jl:18-29) via greedy nearest matching (robust to sort-order
+    flips of numerically-near-conjugate pairs)."""
+    got = np.atleast_1d(np.asarray(got, dtype=complex)).copy()
+    want = np.atleast_1d(np.asarray(want, dtype=complex))
+    if got.shape != want.shape:
+        return False
+    atol = tol * max(1.0, float(np.max(np.abs(want))))
+    used = np.zeros(len(got), bool)
+    for w in want:
+        d = np.where(used, np.inf, np.abs(got - w))
+        i = int(np.argmin(d))
+        if d[i] > atol:
+            return False
+        used[i] = True
+    return True
