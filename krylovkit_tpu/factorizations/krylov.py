@@ -1,0 +1,89 @@
+"""Krylov factorization state + the unified expansion kernel.
+
+The reference implements five iterator/factorization pairs with per-orthogonalizer
+recurrences (``src/factorizations/``).  The TPU build unifies Lanczos and Arnoldi
+expansion into a single kernel: one operator application followed by one *full*
+orthogonalization sweep against all active basis vectors (this is exactly what the
+reference's default ``mgs2``/``cgs2`` Lanczos does anyway — its "3-term
+recurrence" still reorthogonalizes against the whole basis,
+``src/factorizations/lanczos.jl:330-376``).  The projected matrix ``H`` is kept as
+a dense static ``(m+1, m+1)`` buffer; Hermitian drivers simply read it as such.
+
+Contract (reference ``src/factorizations/krylov.jl:30-62``): after ``k`` steps
+
+    A V[:, :k] = V[:, :k+1] @ H[:k+1, :k],      H[k, k-1] = β = ‖residual‖
+
+with the residual vector ``r = β · V[k]``.
+
+Thick restart writes an *arrowhead/Krylov-Schur* ``H`` (diagonal + spike row)
+rather than restoring tridiagonal/Hessenberg form via Householder sweeps over the
+basis (reference ``src/eigsolve/lanczos.jl:89-105``, ``arnoldi.jl:468-481``):
+on TPU the restart is then a single basis GEMM, and the small-matrix form is
+irrelevant because the projected problem is solved dense on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import basis as bs
+from ..ops import orthonormal as on
+from ..ops.vector import VectorSpace, STANDARD
+
+PyTree = Any
+
+__all__ = ["KrylovState", "initialize", "expand"]
+
+
+class KrylovState(NamedTuple):
+    """Static-shape factorization state advanced inside ``lax.while_loop``."""
+
+    V: PyTree  # stacked basis, capacity m+1
+    H: jax.Array  # (m+1, m+1) projected-matrix buffer
+    k: jax.Array  # current factorization size (int32)
+    beta: jax.Array  # current residual norm ‖r‖
+
+
+def initialize(
+    x0: PyTree,
+    m: int,
+    coeff_dtype,
+    space: VectorSpace = STANDARD,
+    vec_dtype=None,
+) -> KrylovState:
+    """Allocate buffers and set ``V[0] = x0/‖x0‖`` (reference ``initialize``,
+    ``src/factorizations/lanczos.jl:180-249``).  ``vec_dtype`` promotes the basis
+    (e.g. real → complex for the Arnoldi/Schur path)."""
+    if vec_dtype is not None:
+        x0 = jax.tree_util.tree_map(lambda l: l.astype(vec_dtype), x0)
+    nrm = space.norm(x0)
+    v0 = jax.tree_util.tree_map(lambda l: l / nrm.astype(l.dtype), x0)
+    V = bs.alloc(v0, m + 1)
+    V = bs.set(V, 0, v0)
+    H = jnp.zeros((m + 1, m + 1), dtype=coeff_dtype)
+    return KrylovState(V, H, jnp.int32(0), jnp.ones((), jnp.finfo(coeff_dtype).dtype))
+
+
+def expand(
+    op_apply,
+    state: KrylovState,
+    orth: on.Orthogonalizer,
+    space: VectorSpace = STANDARD,
+) -> KrylovState:
+    """One Krylov step: ``w = A V[k]``; orthonormalize against ``V[0..k]``;
+    append.  (reference ``expand!`` + recurrence,
+    ``src/factorizations/lanczos.jl:250-272``, ``arnoldi.jl:199-219``)."""
+    V, H, k, _ = state
+    w = op_apply(bs.get(V, k))
+    v_new, beta, c = on.orthonormalize(w, V, k + 1, orth, space)
+    V = bs.set(V, k + 1, v_new)
+    col = c.astype(H.dtype) + beta.astype(H.dtype) * jax.nn.one_hot(
+        k + 1, H.shape[0], dtype=H.dtype
+    )
+    H = jax.lax.dynamic_update_slice(
+        H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
+    )
+    return KrylovState(V, H, k + 1, beta)

@@ -42,6 +42,11 @@ class LinearOperator:
 
     ``normal(x)`` computes ``A x``; ``adjoint(y)`` computes ``Aᴴ y``.  Both must be
     jit-traceable.  ``adjoint`` may be ``None`` when the problem never needs it.
+
+    Registered as a pytree with the callables as static aux data, so an operator
+    can be passed straight through ``jit`` boundaries (the jit cache keys on the
+    callables' identity; matrix operators keep the matrix as traced data — see
+    :class:`MatrixOperator`).
     """
 
     normal: Callable[[PyTree], PyTree]
@@ -76,17 +81,43 @@ class LinearOperator:
         return LinearOperator(f, adj)
 
 
+jax.tree_util.register_pytree_node(
+    LinearOperator,
+    lambda op: ((), (op.normal, op.adjoint)),
+    lambda aux, _: LinearOperator(*aux),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixOperator(LinearOperator):
+    """Dense-matrix operator; the matrix is traced pytree data, so repeated
+    solves with same-shaped matrices hit the jit cache."""
+
+    A: jax.Array = None
+
+    def __init__(self, A):
+        object.__setattr__(self, "A", A)
+        object.__setattr__(self, "normal", self._normal)
+        object.__setattr__(self, "adjoint", self._adjoint)
+
+    def _normal(self, x):
+        return jnp.matmul(self.A, x, precision=jax.lax.Precision.HIGHEST)
+
+    def _adjoint(self, y):
+        return jnp.matmul(self.A.conj().T, y, precision=jax.lax.Precision.HIGHEST)
+
+
+jax.tree_util.register_pytree_node(
+    MatrixOperator,
+    lambda op: ((op.A,), ()),
+    lambda aux, children: MatrixOperator(children[0]),
+)
+
+
 def _matrix_operator(A: jax.Array) -> LinearOperator:
     if A.ndim != 2:
         raise ValueError(f"operator array must be 2-D, got shape {A.shape}")
-
-    def normal(x):
-        return jnp.matmul(A, x, precision=jax.lax.Precision.HIGHEST)
-
-    def adjoint(y):
-        return jnp.matmul(A.conj().T, y, precision=jax.lax.Precision.HIGHEST)
-
-    return LinearOperator(normal, adjoint)
+    return MatrixOperator(A)
 
 
 def as_operator(A: OperatorLike) -> LinearOperator:

@@ -1,0 +1,210 @@
+"""``eigsolve`` front-end: keyword API + algorithm auto-selection + jit cache.
+
+Mirrors the reference front-end (``src/eigsolve/eigsolve.jl``): the ``eigselector``
+picks Lanczos for Hermitian problems and Arnoldi otherwise
+(``src/eigsolve/eigsolve.jl:238-283``), probing hermiticity numerically for
+concrete matrices; callables default to Arnoldi unless ``ishermitian=True``.
+
+The solve itself is a module-level jitted function: operators and starting
+vectors are traced pytrees, ``(howmany, which, alg, space)`` are static, so
+repeated solves with same-shaped problems reuse the compiled executable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algorithms import Arnoldi, KrylovDefaults, Lanczos
+from ..ops.operator import LinearOperator, MatrixOperator, as_operator
+from ..ops.vector import STANDARD, VectorSpace
+from .arnoldi import eigsolve_arnoldi, schursolve as _schursolve_driver
+from .lanczos import eigsolve_lanczos
+
+PyTree = Any
+
+__all__ = ["eigsolve", "schursolve", "realeigsolve"]
+
+
+@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
+def _eigsolve_core(op, x0, howmany, which, alg, space):
+    if isinstance(alg, Lanczos):
+        return eigsolve_lanczos(op, x0, howmany, which, alg, space)
+    return eigsolve_arnoldi(op, x0, howmany, which, alg, space)
+
+
+@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
+def _schursolve_core(op, x0, howmany, which, alg, space):
+    return _schursolve_driver(op, x0, howmany, which, alg, space)
+
+
+def _is_concrete(A) -> bool:
+    return isinstance(A, (np.ndarray, jax.Array)) and not isinstance(
+        A, jax.core.Tracer
+    )
+
+
+def _probe_hermitian(A) -> bool:
+    An = np.asarray(A)
+    return An.shape[0] == An.shape[1] and bool(
+        np.allclose(An, An.conj().T, atol=1e-12 * max(1.0, float(np.max(np.abs(An)))))
+    )
+
+
+def _default_x0(A, x0):
+    if x0 is not None:
+        # breakdown guard for concrete starts (reference raises on β₀ == 0,
+        # src/factorizations/lanczos.jl:184; inside jit this is undetectable)
+        leaves = jax.tree_util.tree_leaves(x0)
+        if all(_is_concrete(l) for l in leaves):
+            nrm2 = sum(float(jnp.sum(jnp.abs(l) ** 2)) for l in leaves)
+            if nrm2 == 0.0:
+                raise ValueError("starting vector x0 has zero norm")
+        return x0
+    if _is_concrete(A) and getattr(A, "ndim", 0) == 2:
+        n = A.shape[1]
+        dt = jnp.asarray(A).dtype
+        return jnp.asarray(
+            np.random.default_rng(42).standard_normal(n), jnp.finfo(dt).dtype
+        ).astype(dt)
+    raise ValueError("x0 is required unless the operator is a concrete matrix")
+
+
+def _select_alg(A, ishermitian, alg, **kw):
+    """``eigselector`` (reference src/eigsolve/eigsolve.jl:238-283)."""
+    if alg is not None:
+        return alg
+    if ishermitian is None:
+        ishermitian = _probe_hermitian(A) if _is_concrete(A) else False
+    cls = Lanczos if ishermitian else Arnoldi
+    fields = {k: v for k, v in kw.items() if v is not None}
+    return cls(**fields)
+
+
+def eigsolve(
+    A,
+    x0: Optional[PyTree] = None,
+    howmany: int = 1,
+    which="LM",
+    *,
+    ishermitian: Optional[bool] = None,
+    alg=None,
+    space: VectorSpace = STANDARD,
+    tol: Optional[float] = None,
+    krylovdim: Optional[int] = None,
+    maxiter: Optional[int] = None,
+    orth=None,
+    eager: Optional[bool] = None,
+    verbosity: Optional[int] = None,
+):
+    """Find ``howmany`` extremal eigenvalues of a linear map.
+
+    Returns ``(vals, vecs, info)`` with ``vals`` of static length ``howmany``,
+    ``vecs`` a stacked pytree of Ritz vectors (leading axis ``howmany``) and
+    ``info`` a :class:`ConvergenceInfo`.  Reference: ``eigsolve``
+    (``src/eigsolve/eigsolve.jl:1-185``).
+
+    The map may be a matrix, a callable, or a ``LinearOperator``; vectors are
+    arbitrary pytrees (shardable).  Hermiticity is probed for concrete matrices
+    and assumed False for callables unless ``ishermitian=True``.
+    """
+    op = as_operator(A)
+    x0 = _default_x0(A, x0)
+    alg = _select_alg(
+        A,
+        ishermitian,
+        alg,
+        tol=tol,
+        krylovdim=krylovdim,
+        maxiter=maxiter,
+        orth=orth,
+        eager=eager,
+        verbosity=verbosity,
+    )
+    if isinstance(alg, Lanczos) and isinstance(which, str) and which.upper() in (
+        "LI",
+        "SI",
+    ):
+        raise ValueError("which=LI/SI invalid for Hermitian problems")
+    return _eigsolve_core(op, x0, howmany, which, alg, space)
+
+
+def schursolve(
+    A,
+    x0: Optional[PyTree] = None,
+    howmany: int = 1,
+    which="LM",
+    alg: Optional[Arnoldi] = None,
+    *,
+    space: VectorSpace = STANDARD,
+    **kw,
+):
+    """Partial Schur decomposition ``(T, vecs, vals, info)`` (reference
+    ``schursolve``, ``src/eigsolve/arnoldi.jl:1-150``)."""
+    op = as_operator(A)
+    x0 = _default_x0(A, x0)
+    if alg is None:
+        alg = Arnoldi(**{k: v for k, v in kw.items() if v is not None})
+    return _schursolve_core(op, x0, howmany, which, alg, space)
+
+
+def realeigsolve(
+    A,
+    x0: Optional[PyTree] = None,
+    howmany: int = 1,
+    which="LM",
+    *,
+    imag_tol: Optional[float] = None,
+    **kw,
+):
+    """Eigsolve for real linear maps asserting real eigenvalues (reference
+    ``realeigsolve``, ``src/eigsolve/arnoldi.jl:293-349``).
+
+    Runs the complex Arnoldi driver and validates that the requested eigenvalues
+    have negligible imaginary part; raises on host if not (outside jit).
+    Returns real eigenvalues and phase-fixed real eigenvectors.
+    """
+    kw.setdefault("ishermitian", False)
+    vals, vecs, info = eigsolve(A, x0, howmany, which, **kw)
+    tol = imag_tol
+    if tol is None:
+        rdt = jnp.finfo(vals.dtype).dtype
+        tol = float(np.finfo(np.dtype(rdt)) .eps ** 0.5)
+    imag_mag = jnp.max(jnp.abs(jnp.imag(vals)))
+    if not isinstance(imag_mag, jax.core.Tracer):
+        scalemax = max(1.0, float(jnp.max(jnp.abs(vals))))
+        if float(imag_mag) > tol * scalemax:
+            raise ValueError(
+                f"realeigsolve: requested eigenvalues are not real "
+                f"(max |imag| = {float(imag_mag):.3e}); use eigsolve instead"
+            )
+
+    # phase-fix: rotate each eigenvector so its largest component is real
+    flat = jax.tree_util.tree_leaves(vecs)
+    # find per-vector phase from the largest-magnitude entry across leaves
+    absmax = None
+    pick = None
+    for l in flat:
+        l2 = l.reshape(l.shape[0], -1)
+        am = jnp.max(jnp.abs(l2), axis=1)
+        val = jnp.take_along_axis(
+            l2, jnp.argmax(jnp.abs(l2), axis=1)[:, None], axis=1
+        )[:, 0]
+        if absmax is None:
+            absmax, pick = am, val
+        else:
+            better = am > absmax
+            absmax = jnp.where(better, am, absmax)
+            pick = jnp.where(better, val, pick)
+    phase = jnp.where(jnp.abs(pick) > 0, jnp.conj(pick) / jnp.abs(pick), 1)
+    vecs = jax.tree_util.tree_map(
+        lambda l: jnp.real(
+            l * phase.reshape((-1,) + (1,) * (l.ndim - 1)).astype(l.dtype)
+        ),
+        vecs,
+    )
+    return jnp.real(vals), vecs, info

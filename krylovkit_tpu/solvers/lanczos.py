@@ -1,0 +1,207 @@
+"""Hermitian eigsolve driver: Lanczos with thick restart, fully jitted.
+
+Mirrors the reference's Krylov-Schur loop (``src/eigsolve/lanczos.jl``):
+
+    expand to krylovdim (or breakdown / eager check)
+      → dense eig of projected matrix (on device, ``dense.eigh_active``)
+      → sort by `which`, count leading converged via |β·U[k-1, i]| ≤ tol
+      → thick restart: keep = (3·krylovdim + 2·nconv) ÷ 5 Ritz vectors
+        (reference keep rule, src/eigsolve/lanczos.jl:86), one basis GEMM,
+        arrowhead projected matrix (see factorizations/krylov.py)
+
+as a single ``lax.while_loop`` nest — no host round-trips inside the solve.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import dense
+from ..algorithms import Lanczos
+from ..factorizations import krylov as kf
+from ..info import ConvergenceInfo
+from ..ops import basis as bs
+from ..ops.operator import LinearOperator
+from ..ops.vector import VectorSpace, STANDARD
+
+PyTree = Any
+
+__all__ = ["eigsolve_lanczos"]
+
+
+class _LoopState(NamedTuple):
+    fact: kf.KrylovState
+    numiter: jax.Array
+    numops: jax.Array
+    nconv: jax.Array
+    vals: jax.Array  # (m+1,) sorted Ritz values (real)
+    U: jax.Array  # (m+1, m+1) sorted Ritz coefficient vectors
+    resnorms: jax.Array  # (m+1,) sorted Ritz residual norms
+    done: jax.Array
+
+
+def _process(H, k, beta, which, tol, howmany):
+    """Projected eig + sort + convergence count.  Returns (nconv, vals, U, res)."""
+    m1 = H.shape[0]
+    T = H  # full buffer; active block [:k,:k]
+    w, U, valid = dense.eigh_active((T + T.conj().T) / 2, k)
+    perm = dense.sort_perm(w, valid, which)
+    w = w[perm]
+    U = U[:, perm]
+    valid = valid[perm]
+    # Ritz residual: |β · U[k-1, i]| (last active row of the eigvec matrix)
+    lastrow = jax.lax.dynamic_index_in_dim(U, jnp.maximum(k - 1, 0), 0, keepdims=False)
+    res = jnp.abs(beta * lastrow)
+    res = jnp.where(valid, res, jnp.inf)
+    flags = res <= tol
+    nconv = jnp.sum(jnp.cumprod(flags.astype(jnp.int32)))
+    return nconv.astype(jnp.int32), w, U, res
+
+
+def _restart(fact: kf.KrylovState, vals, U, beta, keep):
+    """Thick restart to an arrowhead factorization of size ``keep``."""
+    V, H, k, _ = fact
+    m1 = H.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
+    # basis rotation: keep columns + move residual vector V[k] to slot ``keep``
+    Ukeep = jnp.where((cols < keep) & (rows < k), U, 0)
+    Ukeep = Ukeep + jax.nn.one_hot(k, m1, dtype=U.dtype)[:, None] * jax.nn.one_hot(
+        keep, m1, dtype=U.dtype
+    )[None, :]
+    Vnew = bs.transform(V, Ukeep)
+    # arrowhead H: diag(θ) + spike row s[j] = β·conj(U[k-1, j])
+    lastrow = jax.lax.dynamic_index_in_dim(U, jnp.maximum(k - 1, 0), 0, keepdims=False)
+    s = (beta * jnp.conj(lastrow)).astype(H.dtype)
+    didx = jax.lax.broadcasted_iota(jnp.int32, (m1,), 0)
+    diag = jnp.where(didx < keep, vals.astype(H.dtype), 0)
+    Hnew = jnp.diag(diag)
+    spike = jnp.where(didx < keep, s, 0)
+    Hnew = Hnew + jax.nn.one_hot(keep, m1, dtype=H.dtype)[:, None] * spike[None, :]
+    # Hermitian mirror of the spike (column ``keep``), so processing before the
+    # next expansion overwrites it stays consistent
+    Hnew = Hnew + jax.nn.one_hot(keep, m1, dtype=H.dtype)[None, :] * jnp.conj(
+        spike
+    )[:, None]
+    return kf.KrylovState(Vnew, Hnew, keep.astype(jnp.int32), beta)
+
+
+def eigsolve_lanczos(
+    op: LinearOperator,
+    x0: PyTree,
+    howmany: int,
+    which,
+    alg: Lanczos,
+    space: VectorSpace = STANDARD,
+    coeff_dtype=None,
+):
+    """Jit-compatible Hermitian eigsolve.  Returns ``(vals, vecs, info)`` with
+    static ``howmany`` leading entries (reference returns a dynamic-length list,
+    ``src/eigsolve/lanczos.jl:117-154``; static shapes are the jit contract)."""
+    m = alg.krylovdim
+    if howmany > m:
+        raise ValueError(
+            f"howmany={howmany} exceeds krylovdim={m}; enlarge krylovdim"
+        )
+    if isinstance(which, str) and which.upper() in ("LI", "SI"):
+        raise ValueError(
+            "which=:LI/:SI invalid for Hermitian eigsolve (real spectrum) — "
+            "reference src/eigsolve/eigsolve.jl:209-236"
+        )
+    from ..ops.operator import probe_dtype
+
+    cdt = coeff_dtype or probe_dtype(op, x0)
+    rdt = jnp.finfo(cdt).dtype
+    tol = jnp.asarray(alg.tol, rdt)
+    btol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
+
+    fact0 = kf.initialize(x0, m, cdt, space)
+    st0 = _LoopState(
+        fact=fact0,
+        numiter=jnp.int32(0),
+        numops=jnp.int32(0),
+        nconv=jnp.int32(0),
+        vals=jnp.zeros((m + 1,), rdt),
+        U=jnp.zeros((m + 1, m + 1), cdt),
+        resnorms=jnp.full((m + 1,), jnp.inf, rdt),
+        done=jnp.asarray(False),
+    )
+
+    def expand_one(c):
+        fact, numops = c
+        return kf.expand(op.normal, fact, alg.orth, space), numops + 1
+
+    def outer_body(st: _LoopState) -> _LoopState:
+        fact, numops = st.fact, st.numops
+
+        # --- inner expansion loop (do-while: ≥1 expansion if possible) ---
+        def inner_cond(c):
+            fact, numops = c
+            go = jnp.logical_and(fact.k < m, fact.beta > btol)
+            if alg.eager:
+                go = jnp.logical_and(go, fact.k < max(howmany, 1))
+            return go
+
+        can_expand = jnp.logical_and(fact.k < m, fact.beta > btol)
+        fact, numops = jax.lax.cond(
+            can_expand, expand_one, lambda c: c, (fact, numops)
+        )
+        fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
+
+        # --- process projected problem ---
+        nconv, vals, U, res = _process(
+            fact.H, fact.k, fact.beta, which, tol, howmany
+        )
+        numiter = st.numiter + 1
+        stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
+        done = jnp.logical_or(
+            nconv >= howmany, jnp.logical_or(numiter >= alg.maxiter, stalled)
+        )
+
+        # --- thick restart (skipped when done) ---
+        keep_raw = (3 * m + 2 * nconv) // 5
+        keep = jnp.clip(keep_raw, 1, jnp.maximum(fact.k - 1, 1))
+
+        def do_restart(args):
+            fact, vals, U = args
+            return _restart(fact, vals, U, fact.beta, keep)
+
+        fact = jax.lax.cond(
+            done, lambda a: a[0], do_restart, (fact, vals, U)
+        )
+        return _LoopState(fact, numiter, numops, nconv, vals, U, res, done)
+
+    def outer_cond(st: _LoopState):
+        return jnp.logical_not(st.done)
+
+    st = jax.lax.while_loop(outer_cond, outer_body, st0)
+
+    # --- extract results (static howmany) ---
+    fact = st.fact
+    m1 = m + 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
+    Umask = jnp.where((rows < fact.k) & (cols < howmany), st.U, 0)
+    Vr = bs.transform(fact.V, Umask)  # Ritz vectors in slots [0, howmany)
+    vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vr)
+    # residual vectors r_i = β·U[k-1,i] · V[k]  (reference src/eigsolve/lanczos.jl:127-133)
+    lastrow = jax.lax.dynamic_index_in_dim(
+        st.U, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
+    )
+    s = fact.beta * lastrow
+    vk = bs.get(fact.V, fact.k)
+    residuals = jax.tree_util.tree_map(
+        lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
+    )
+    info = ConvergenceInfo(
+        converged=jnp.minimum(st.nconv, howmany),
+        residual=residuals,
+        normres=st.resnorms[:howmany],
+        numiter=st.numiter,
+        numops=st.numops,
+    )
+    return st.vals[:howmany], vecs, info
