@@ -36,5 +36,7 @@ from .algorithms import (  # noqa: F401
 from .ops.vector import VectorSpace  # noqa: F401
 from .ops.operator import LinearOperator, as_operator  # noqa: F401
 from .solvers.eigsolve import eigsolve, schursolve, realeigsolve  # noqa: F401
+from .solvers.linsolve import linsolve, reallinsolve  # noqa: F401
+from .solvers.svdsolve import svdsolve, realsvdsolve  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,278 @@
+"""Partial SVD via GKL bidiagonalization with Krylov-Schur thick restart.
+
+Mirrors the reference driver (``src/eigsolve/svdsolve.jl``): GKL expansion, SVD
+of the projected matrix (on device, ``dense.svd_active`` — the reference's LAPACK
+``bdsqr``, ``src/dense/linalg.jl:123-130``), convergence on ``|β·Q[k-1, i]|``
+(``src/eigsolve/svdsolve.jl:198-210``), and thick restart keeping
+``(3·krylovdim + 2·nconv) ÷ 5`` triplets.  The restart writes a broken-arrow
+projected matrix (see ``factorizations/gkl.py``) instead of restoring lower
+bidiagonal form with double Householder sweeps
+(``src/eigsolve/svdsolve.jl:231-274``): one GEMM per basis, no small-matrix
+bookkeeping.
+
+``which`` ∈ {"LR", "SR"} — largest/smallest singular values (the reference
+errors on anything else, ``src/eigsolve/svdsolve.jl:137-142``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dense
+from ..algorithms import GKL, KrylovDefaults
+from ..factorizations import gkl as gf
+from ..info import ConvergenceInfo
+from ..ops import basis as bs
+from ..ops.operator import as_operator, probe_dtype
+from ..ops.vector import REAL, STANDARD, VectorSpace
+
+PyTree = Any
+
+__all__ = ["svdsolve", "realsvdsolve", "svdsolve_gkl"]
+
+
+class _LoopState(NamedTuple):
+    fact: gf.GKLState
+    numiter: jax.Array
+    numops: jax.Array
+    nconv: jax.Array
+    svals: jax.Array  # (m+1,) sorted singular values
+    P: jax.Array  # (m+1, m+1) sorted left singular vectors of projected B
+    Q: jax.Array  # (m+1, m+1) sorted right singular vectors of projected B
+    resnorms: jax.Array
+    done: jax.Array
+
+
+def _process(B, k, beta, which, tol):
+    m1 = B.shape[0]
+    s, P, Vh, valid = dense.svd_active(B, k)
+    Q = Vh.conj().T
+    perm = dense.sort_perm(s.astype(jnp.result_type(s.dtype, jnp.float32)), valid, which)
+    s = s[perm]
+    P = P[:, perm]
+    Q = Q[:, perm]
+    valid = valid[perm]
+    lastrow = jax.lax.dynamic_index_in_dim(Q, jnp.maximum(k - 1, 0), 0, keepdims=False)
+    res = jnp.abs(beta * lastrow)
+    res = jnp.where(valid, res, jnp.inf)
+    flags = res <= tol
+    nconv = jnp.sum(jnp.cumprod(flags.astype(jnp.int32)))
+    return nconv.astype(jnp.int32), s, P, Q, res
+
+
+def _restart(fact: gf.GKLState, svals, P, Q, beta, keep):
+    """Thick restart to broken-arrow form of size ``keep``:
+    ``A Ṽ = Ũ Σ + β u_k Q[k-1, :]`` (see factorizations/gkl.py docstring)."""
+    U, V, B, k, _ = fact
+    m1 = B.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
+    keepmask = (cols < keep) & (rows < k)
+    # domain basis: kept right singular vectors
+    Qkeep = jnp.where(keepmask, Q, 0)
+    Vnew = bs.transform(V, Qkeep)
+    # codomain basis: kept left singular vectors + old residual u_k at slot keep
+    Pkeep = jnp.where(keepmask, P, 0)
+    Pkeep = Pkeep + jax.nn.one_hot(k, m1, dtype=P.dtype)[:, None] * jax.nn.one_hot(
+        keep, m1, dtype=P.dtype
+    )[None, :]
+    Unew = bs.transform(U, Pkeep)
+    # projected matrix: diag(σ[:keep]) + spike row at ``keep``
+    didx = jax.lax.broadcasted_iota(jnp.int32, (m1,), 0)
+    diag = jnp.where(didx < keep, svals.astype(B.dtype), 0)
+    lastrow = jax.lax.dynamic_index_in_dim(Q, jnp.maximum(k - 1, 0), 0, keepdims=False)
+    spike = jnp.where(didx < keep, (beta * lastrow).astype(B.dtype), 0)
+    Bnew = jnp.diag(diag) + jax.nn.one_hot(keep, m1, dtype=B.dtype)[:, None] * spike[
+        None, :
+    ]
+    return gf.GKLState(Unew, Vnew, Bnew, keep.astype(jnp.int32), beta)
+
+
+def svdsolve_gkl(
+    op,
+    x0: PyTree,
+    howmany: int,
+    which,
+    alg: GKL,
+    space: VectorSpace = STANDARD,
+):
+    """Jit-compatible partial SVD: returns ``(vals, lvecs, rvecs, info)``.
+
+    Reference: ``svdsolve`` GKL driver (``src/eigsolve/svdsolve.jl:144-314``).
+    """
+    m = alg.krylovdim
+    if howmany > m:
+        raise ValueError(f"howmany={howmany} exceeds krylovdim={m}")
+    w = which.upper() if isinstance(which, str) else which
+    if w not in ("LR", "SR"):
+        raise ValueError(
+            "svdsolve accepts which in ('LR', 'SR') — singular values are "
+            "real nonnegative (reference src/eigsolve/svdsolve.jl:137-142)"
+        )
+    # x0 lives in the codomain: probe the scalar type through the adjoint
+    from ..ops.vector import scalartype
+
+    cdt = scalartype(jax.eval_shape(op.apply_adjoint, x0), x0)
+    rdt = jnp.finfo(cdt).dtype
+    tol = jnp.asarray(alg.tol, rdt)
+    btol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
+
+    fact0 = gf.initialize(op, x0, m, cdt, space)
+    m1 = m + 1
+    st0 = _LoopState(
+        fact=fact0,
+        numiter=jnp.int32(0),
+        numops=jnp.int32(0),
+        nconv=jnp.int32(0),
+        svals=jnp.zeros((m1,), rdt),
+        P=jnp.zeros((m1, m1), cdt),
+        Q=jnp.zeros((m1, m1), cdt),
+        resnorms=jnp.full((m1,), jnp.inf, rdt),
+        done=jnp.asarray(False),
+    )
+
+    def expand_one(c):
+        fact, numops = c
+        return gf.expand(op, fact, alg.orth, space), numops + 2
+
+    def outer_body(st: _LoopState) -> _LoopState:
+        fact, numops = st.fact, st.numops
+
+        def inner_cond(c):
+            fact, numops = c
+            go = jnp.logical_and(fact.k < m, fact.beta > btol)
+            if alg.eager:
+                go = jnp.logical_and(go, fact.k < max(howmany, 1))
+            return go
+
+        can_expand = jnp.logical_and(fact.k < m, fact.beta > btol)
+        fact, numops = jax.lax.cond(can_expand, expand_one, lambda c: c, (fact, numops))
+        fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
+
+        nconv, svals, P, Q, res = _process(fact.B, fact.k, fact.beta, which, tol)
+        numiter = st.numiter + 1
+        stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
+        done = jnp.logical_or(
+            nconv >= howmany, jnp.logical_or(numiter >= alg.maxiter, stalled)
+        )
+        keep_raw = (3 * m + 2 * nconv) // 5
+        keep = jnp.clip(keep_raw, 1, jnp.maximum(fact.k - 1, 1))
+        fact = jax.lax.cond(
+            done,
+            lambda a: a[0],
+            lambda a: _restart(a[0], a[1], a[2], a[3], a[0].beta, keep),
+            (fact, svals, P, Q),
+        )
+        return _LoopState(fact, numiter, numops, nconv, svals, P, Q, res, done)
+
+    st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
+
+    fact = st.fact
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
+    hm = (rows < fact.k) & (cols < howmany)
+    Us = bs.transform(fact.U, jnp.where(hm, st.P, 0))
+    Vs = bs.transform(fact.V, jnp.where(hm, st.Q, 0))
+    lvecs = jax.tree_util.tree_map(lambda l: l[:howmany], Us)
+    rvecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vs)
+    # residuals r_i = β·Q[k-1, i]·u_k  (A ṽ_i − σ_i ũ_i)
+    lastrow = jax.lax.dynamic_index_in_dim(
+        st.Q, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
+    )
+    s = fact.beta * lastrow
+    uk = bs.get(fact.U, fact.k)
+    residuals = jax.tree_util.tree_map(
+        lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], uk
+    )
+    info = ConvergenceInfo(
+        converged=jnp.minimum(st.nconv, howmany),
+        residual=residuals,
+        normres=st.resnorms[:howmany],
+        numiter=st.numiter,
+        numops=st.numops,
+    )
+    return st.svals[:howmany], lvecs, rvecs, info
+
+
+@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
+def _svdsolve_core(op, x0, howmany, which, alg, space):
+    return svdsolve_gkl(op, x0, howmany, which, alg, space)
+
+
+def _default_x0(A, x0):
+    if x0 is not None:
+        return x0
+    if isinstance(A, (np.ndarray, jax.Array)) and getattr(A, "ndim", 0) == 2:
+        # start in range(A): an out-of-range (left-null) component can never be
+        # removed by the GKL recurrence and stalls :SR convergence (the
+        # reference's tests start from A[:, 1] for the same reason,
+        # test/svdsolve.jl:13)
+        dt = jnp.asarray(A).dtype
+        v = np.random.default_rng(42).standard_normal(A.shape[1])
+        return jnp.asarray(np.asarray(A) @ v.astype(np.asarray(A).dtype)).astype(dt)
+    raise ValueError("x0 is required unless the operator is a concrete matrix")
+
+
+def svdsolve(
+    A,
+    x0: Optional[PyTree] = None,
+    howmany: int = 1,
+    which="LR",
+    *,
+    alg: Optional[GKL] = None,
+    space: VectorSpace = STANDARD,
+    tol: Optional[float] = None,
+    krylovdim: Optional[int] = None,
+    maxiter: Optional[int] = None,
+    orth=None,
+    eager: Optional[bool] = None,
+    verbosity: Optional[int] = None,
+):
+    """Find ``howmany`` extremal singular triplets of a linear map.
+
+    Returns ``(vals, lvecs, rvecs, info)``; ``x0`` lives in the **codomain**
+    (left side) of the map (reference ``svdsolve``,
+    ``src/eigsolve/svdsolve.jl:1-142``).  Operators given as callables must
+    provide an adjoint (``(f, fadjoint)`` tuple) or be a matrix; a bare callable
+    gets its adjoint derived by linear transposition at trace time.
+    """
+    op = as_operator(A)
+    x0 = _default_x0(A, x0)
+    if op.adjoint is None:
+        # bare callable: derive the adjoint by linear transposition; the domain
+        # template is unknown, so this requires a square map (domain ≅ codomain)
+        op = op.with_adjoint_from(x0)
+    # Cap the Krylov dimension at the (static) domain dimension: beyond it the
+    # domain sweep breaks down (α → 0) with nothing left to find.  The codomain
+    # side needs no cap — β → 0 there is caught by the breakdown guard.
+    dom = jax.eval_shape(op.apply_adjoint, x0)
+    domain_dim = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(dom))
+    if alg is None:
+        kw = dict(
+            tol=tol, krylovdim=krylovdim, maxiter=maxiter, orth=orth,
+            eager=eager, verbosity=verbosity,
+        )
+        alg = GKL(**{k: v for k, v in kw.items() if v is not None})
+    elif tol is not None and alg.tol != tol:
+        alg = dataclasses.replace(alg, tol=tol)
+    if alg.krylovdim > domain_dim:
+        alg = dataclasses.replace(alg, krylovdim=domain_dim)
+    return _svdsolve_core(op, x0, howmany, which, alg, space)
+
+
+def realsvdsolve(A, x0: Optional[PyTree] = None, howmany: int = 1, which="LR", **kw):
+    """``svdsolve`` over the real inner product (R-linear maps on complex
+    vectors; cf. reference ``reallssolve``/``RealVec`` machinery,
+    ``src/KrylovKit.jl:243-256``)."""
+    space = kw.pop("space", None)
+    if space is None:
+        space = REAL
+    elif not space.real_inner:
+        space = dataclasses.replace(space, real_inner=True)
+    return svdsolve(A, x0, howmany, which, space=space, **kw)

@@ -30,7 +30,7 @@ def rand_mat(rng, m, k, dtype):
         a = rng.standard_normal((m, k)) + 1j * rng.standard_normal((m, k))
     else:
         a = rng.standard_normal((m, k))
-    return a.astype(dt) / np.sqrt(m)
+    return (a / np.sqrt(m)).astype(dt)  # divide first: NEP-50 would promote f32/f64-scalar
 
 
 def rand_vec(rng, m, dtype):
