@@ -38,5 +38,7 @@ from .ops.operator import LinearOperator, as_operator  # noqa: F401
 from .solvers.eigsolve import eigsolve, schursolve, realeigsolve  # noqa: F401
 from .solvers.linsolve import linsolve, reallinsolve  # noqa: F401
 from .solvers.svdsolve import svdsolve, realsvdsolve  # noqa: F401
+from .solvers.lssolve import lssolve, reallssolve  # noqa: F401
+from .solvers.expintegrator import expintegrator, exponentiate  # noqa: F401
 
 __version__ = "0.1.0"
