@@ -34,11 +34,14 @@ from .algorithms import (  # noqa: F401
     mgsir,
 )
 from .ops.vector import VectorSpace  # noqa: F401
+from .ops.block import Block  # noqa: F401
 from .ops.operator import LinearOperator, as_operator  # noqa: F401
 from .solvers.eigsolve import eigsolve, schursolve, realeigsolve  # noqa: F401
 from .solvers.linsolve import linsolve, reallinsolve  # noqa: F401
 from .solvers.svdsolve import svdsolve, realsvdsolve  # noqa: F401
 from .solvers.lssolve import lssolve, reallssolve  # noqa: F401
 from .solvers.expintegrator import expintegrator, exponentiate  # noqa: F401
+from .solvers.golubye import geneigsolve  # noqa: F401
+from .solvers.biarnoldi import bieigsolve  # noqa: F401
 
 __version__ = "0.1.0"

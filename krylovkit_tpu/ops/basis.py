@@ -37,6 +37,8 @@ __all__ = [
     "transform",
     "append_scaled",
     "mask_coeffs",
+    "gram",
+    "batch_inner",
 ]
 
 
@@ -138,3 +140,30 @@ def append_scaled(y: PyTree, V: PyTree, c: jax.Array, alpha=1.0) -> PyTree:
     """``y + alpha * (V c)`` fused."""
     vc = unproject(V, c)
     return jax.tree_util.tree_map(lambda ly, lv: ly + alpha * lv, y, vc)
+
+
+def gram(X: PyTree, Y: PyTree) -> jax.Array:
+    """``G[i, j] = ⟨X[i], Y[j]⟩`` between two stacked bases — one GEMM per leaf
+    (used e.g. for the GolubYe projected pencil ``HB = VᴴBV``)."""
+    parts = []
+    for lX, lY in zip(jax.tree_util.tree_leaves(X), jax.tree_util.tree_leaves(Y)):
+        n = lX[0].size
+        parts.append(
+            jnp.matmul(
+                lX.reshape(lX.shape[0], n).conj(),
+                lY.reshape(lY.shape[0], n).T,
+                precision=_HI,
+            )
+        )
+    return sum(parts[1:], parts[0])
+
+
+def batch_inner(X: PyTree, Y: PyTree) -> jax.Array:
+    """``c[i] = ⟨X[i], Y[i]⟩`` row-wise between two stacked bases."""
+    parts = []
+    for lX, lY in zip(jax.tree_util.tree_leaves(X), jax.tree_util.tree_leaves(Y)):
+        n = lX[0].size
+        a = lX.reshape(lX.shape[0], n).conj()
+        b = lY.reshape(lY.shape[0], n)
+        parts.append(jnp.einsum("ij,ij->i", a, b, precision=_HI))
+    return sum(parts[1:], parts[0])

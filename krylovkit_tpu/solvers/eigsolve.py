@@ -19,10 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..algorithms import Arnoldi, KrylovDefaults, Lanczos
+from ..algorithms import Arnoldi, BlockLanczos, KrylovDefaults, Lanczos
+from ..ops.block import Block
 from ..ops.operator import LinearOperator, MatrixOperator, as_operator
 from ..ops.vector import STANDARD, VectorSpace
 from .arnoldi import eigsolve_arnoldi, schursolve as _schursolve_driver
+from .blocklanczos import eigsolve_blocklanczos
 from .lanczos import eigsolve_lanczos
 
 PyTree = Any
@@ -32,6 +34,8 @@ __all__ = ["eigsolve", "schursolve", "realeigsolve"]
 
 @partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
 def _eigsolve_core(op, x0, howmany, which, alg, space):
+    if isinstance(alg, BlockLanczos):
+        return eigsolve_blocklanczos(op, x0, howmany, which, alg, space)
     if isinstance(alg, Lanczos):
         return eigsolve_lanczos(op, x0, howmany, which, alg, space)
     return eigsolve_arnoldi(op, x0, howmany, which, alg, space)
@@ -113,6 +117,18 @@ def eigsolve(
     and assumed False for callables unless ``ishermitian=True``.
     """
     op = as_operator(A)
+    # Block starting value → BlockLanczos (reference eigselector picks
+    # BlockLanczos for Block input, src/eigsolve/eigsolve.jl:238-283)
+    if isinstance(x0, Block) or isinstance(alg, BlockLanczos):
+        if not isinstance(x0, Block):
+            raise ValueError("BlockLanczos requires a Block starting value x0")
+        if alg is None or not isinstance(alg, BlockLanczos):
+            kwb = dict(
+                tol=tol, krylovdim=krylovdim, maxiter=maxiter, orth=orth,
+                eager=eager, verbosity=verbosity,
+            )
+            alg = BlockLanczos(**{k: v for k, v in kwb.items() if v is not None})
+        return _eigsolve_core(op, x0.stacked, howmany, which, alg, space)
     x0 = _default_x0(A, x0)
     alg = _select_alg(
         A,
