@@ -1,0 +1,73 @@
+"""Structured sharded operators — the benchmark/reference operators of
+BASELINE.json, built TPU-first.
+
+The reference applies sparse matrices through Julia's generic ``A*x``
+(``src/apply.jl:1-2``).  On TPU a structured stencil beats an explicit CSR
+gather: the 1D Laplacian and 2D Poisson operators below are shift-and-add
+(``jnp.roll`` + masks), which XLA fuses into a couple of VPU passes; on a
+sharded vector the shifts lower to ``ppermute`` halo exchanges over ICI — the
+distributed-SpMV pattern of SURVEY.md §2 ("Parallelism inventory") without any
+hand-written communication.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.operator import LinearOperator
+
+__all__ = ["laplacian_1d", "poisson_2d", "sharded_laplacian_1d"]
+
+
+def laplacian_1d(n: int, dtype=jnp.float32, dirichlet: bool = True) -> LinearOperator:
+    """Operator for the tridiagonal ``tridiag(-1, 2, -1)`` Laplacian
+    (BASELINE.json config 1).  Hermitian positive definite for Dirichlet."""
+
+    def apply(x):
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        xm = jnp.roll(x, 1, axis=-1)
+        xp = jnp.roll(x, -1, axis=-1)
+        if dirichlet:
+            xm = jnp.where(idx == 0, 0, xm)
+            xp = jnp.where(idx == n - 1, 0, xp)
+        return 2 * x - xm - xp
+
+    return LinearOperator(apply, apply)  # symmetric
+
+
+def poisson_2d(nx: int, ny: int, dtype=jnp.float32) -> LinearOperator:
+    """5-point stencil 2D Poisson operator on an ``(nx, ny)`` grid, acting on
+    vectors of shape ``(nx, ny)`` (BASELINE.json config 2).  SPD."""
+
+    def apply(x):
+        ix = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+        iy = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        xl = jnp.where(ix == 0, 0, jnp.roll(x, 1, axis=-2))
+        xr = jnp.where(ix == nx - 1, 0, jnp.roll(x, -1, axis=-2))
+        xu = jnp.where(iy == 0, 0, jnp.roll(x, 1, axis=-1))
+        xd = jnp.where(iy == ny - 1, 0, jnp.roll(x, -1, axis=-1))
+        return 4 * x - xl - xr - xu - xd
+
+    return LinearOperator(apply, apply)
+
+
+def sharded_laplacian_1d(
+    n: int, mesh, dtype=jnp.float32
+) -> LinearOperator:
+    """1D Laplacian whose application pins the output sharding to the vector
+    axis, so the whole Krylov loop stays sharded (halos via ``ppermute``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import VECTOR_AXIS
+
+    base = laplacian_1d(n, dtype)
+
+    def apply(x):
+        y = base.normal(x)
+        spec = P(*([None] * (y.ndim - 1)), VECTOR_AXIS)
+        return jax.lax.with_sharding_constraint(y, NamedSharding(mesh, spec))
+
+    return LinearOperator(apply, apply)
