@@ -32,13 +32,23 @@ PyTree = Any
 __all__ = ["eigsolve", "schursolve", "realeigsolve"]
 
 
-@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
-def _eigsolve_core(op, x0, howmany, which, alg, space):
+def _eigsolve_impl(op, x0, howmany, which, alg, space):
+    """Undifferentiated driver dispatch (primal path of the custom VJP)."""
     if isinstance(alg, BlockLanczos):
         return eigsolve_blocklanczos(op, x0, howmany, which, alg, space)
     if isinstance(alg, Lanczos):
         return eigsolve_lanczos(op, x0, howmany, which, alg, space)
     return eigsolve_arnoldi(op, x0, howmany, which, alg, space)
+
+
+@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
+def _eigsolve_core(op, x0, howmany, which, alg, space):
+    if isinstance(alg, BlockLanczos):
+        return eigsolve_blocklanczos(op, x0, howmany, which, alg, space)
+    from ..ad.eigsolve import eigsolve_vjp
+
+    opd = op if op.adjoint is not None else op.with_adjoint_from(x0)
+    return eigsolve_vjp(howmany, which, alg, None, space, opd, x0)
 
 
 @partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))

@@ -37,8 +37,8 @@ PyTree = Any
 __all__ = ["linsolve", "reallinsolve"]
 
 
-@partial(jax.jit, static_argnames=("alg", "space"))
-def _linsolve_core(op, b, x0, a0, a1, alg, space):
+def _linsolve_impl(op, b, x0, a0, a1, alg, space):
+    """Undifferentiated driver dispatch (used for both primal and pullback)."""
     if isinstance(alg, CG):
         return linsolve_cg(op, b, x0, a0, a1, alg, space)
     if isinstance(alg, MINRES):
@@ -48,6 +48,13 @@ def _linsolve_core(op, b, x0, a0, a1, alg, space):
     if isinstance(alg, GMRES):
         return linsolve_gmres(op, b, x0, a0, a1, alg, space)
     raise TypeError(f"unsupported linsolve algorithm {alg!r}")
+
+
+@partial(jax.jit, static_argnames=("alg", "alg_rrule", "space"))
+def _linsolve_core(op, b, x0, a0, a1, alg, space, alg_rrule=None):
+    from ..ad.linsolve import linsolve_vjp
+
+    return linsolve_vjp(alg, alg_rrule or alg, space, op, b, x0, a0, a1)
 
 
 def _is_concrete(A) -> bool:
@@ -100,11 +107,15 @@ def _select_alg(A, a0, a1, ishermitian, isposdef, alg, tol, **kw):
             herm, posdef = _probe_matrix(A)
     ishermitian = herm if ishermitian is None else ishermitian
     isposdef = posdef if isposdef is None else isposdef
-    # shift legality: CG/MINRES require a real shift keeping hermiticity
-    real_shift = (
-        np.isrealobj(np.asarray(a0)) and np.isrealobj(np.asarray(a1))
-        and float(np.real(np.asarray(a1))) > 0
-    )
+    # shift legality: CG/MINRES require a real shift keeping hermiticity;
+    # traced shifts cannot be inspected → conservatively pick GMRES
+    if isinstance(a0, jax.core.Tracer) or isinstance(a1, jax.core.Tracer):
+        real_shift = False
+    else:
+        real_shift = (
+            np.isrealobj(np.asarray(a0)) and np.isrealobj(np.asarray(a1))
+            and float(np.real(np.asarray(a1))) > 0
+        )
     fields = {k: v for k, v in kw.items() if v is not None}
     if tol is not None:
         fields["tol"] = tol
@@ -137,8 +148,11 @@ def linsolve(
     maxiter: Optional[int] = None,
     orth=None,
     verbosity: Optional[int] = None,
+    alg_rrule=None,
 ):
-    """Solve ``(a0 + a1·A) x = b``; returns ``(x, info)``.
+    """Solve ``(a0 + a1·A) x = b``; returns ``(x, info)``.  Differentiable:
+    the pullback solves the transposed system with ``alg_rrule`` (default: the
+    primal algorithm), mirroring ``ext/.../linsolve.jl``.
 
     Reference: ``linsolve`` (``src/linsolve/linsolve.jl:1-122``).  ``A`` may be a
     matrix, callable, ``(f, fadjoint)`` tuple, or ``LinearOperator``; ``b`` any
@@ -154,11 +168,18 @@ def linsolve(
     )
     # shift scalars adopt b's scalar type (Python floats must not promote f32→f64)
     cdt = jnp.result_type(*[l.dtype for l in jax.tree_util.tree_leaves(b)])
-    if any(np.iscomplexobj(np.asarray(a)) for a in (a0, a1)):
+    if any(
+        (jnp.issubdtype(a.dtype, jnp.complexfloating)
+         if isinstance(a, (jax.Array, jax.core.Tracer))
+         else np.iscomplexobj(np.asarray(a)))
+        for a in (a0, a1)
+    ):
         cdt = jnp.result_type(cdt, np.complex64)
     a0 = jnp.asarray(a0, cdt)
     a1 = jnp.asarray(a1, cdt)
-    return _linsolve_core(op, b, x0, a0, a1, alg, space)
+    if op.adjoint is None:
+        op = op.with_adjoint_from(b)  # pullback needs Aᴴ
+    return _linsolve_core(op, b, x0, a0, a1, alg, space, alg_rrule)
 
 
 def reallinsolve(A, b: PyTree, x0: Optional[PyTree] = None, a0=0.0, a1=1.0, **kw):

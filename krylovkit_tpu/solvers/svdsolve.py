@@ -202,7 +202,9 @@ def svdsolve_gkl(
 
 @partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
 def _svdsolve_core(op, x0, howmany, which, alg, space):
-    return svdsolve_gkl(op, x0, howmany, which, alg, space)
+    from ..ad.svdsolve import svdsolve_vjp
+
+    return svdsolve_vjp(howmany, which, alg, None, space, op, x0)
 
 
 def _default_x0(A, x0):

@@ -1,0 +1,178 @@
+"""AD tests, mirroring the reference ``test/ad/{linsolve,eigsolve,svdsolve}.jl``:
+pullbacks validated against dense differentiable oracles (the reference uses
+Zygote vs FiniteDifferences with gauge fixing)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import krylovkit_tpu as kk
+from testsetup import hermitize, n, rand_mat, rand_vec
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+def test_ad_linsolve_matches_dense(dtype):
+    rng = np.random.default_rng(71)
+    A = rand_mat(rng, n, n, dtype) + 2 * np.eye(n, dtype=dtype)
+    b = rand_vec(rng, n, dtype)
+    c = rand_vec(rng, n, dtype)
+    a0, a1 = 0.4, 1.3
+
+    def loss_krylov(A, b, a0, a1):
+        x, info = kk.linsolve(A, b, a0=a0, a1=a1, tol=1e-12, krylovdim=n)
+        return jnp.real(jnp.vdot(c, x))
+
+    def loss_dense(A, b, a0, a1):
+        x = jnp.linalg.solve(a0 * jnp.eye(n, dtype=A.dtype) + a1 * A, b)
+        return jnp.real(jnp.vdot(c, x))
+
+    args = (jnp.asarray(A), jnp.asarray(b), jnp.asarray(a0, jnp.asarray(A).dtype),
+            jnp.asarray(a1, jnp.asarray(A).dtype))
+    g1 = jax.grad(loss_krylov, argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(*args)
+    for a, b_, name in zip(g1, g2, "A b a0 a1".split()):
+        assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-8), name
+
+
+def test_ad_linsolve_cg_hermitian():
+    rng = np.random.default_rng(72)
+    B = rand_mat(rng, n, n, np.float64)
+    A = B @ B.T + 2 * np.eye(n)
+    b = rand_vec(rng, n, np.float64)
+    c = rand_vec(rng, n, np.float64)
+
+    def loss(A, b):
+        x, _ = kk.linsolve(A, b, alg=kk.CG(tol=1e-12, maxiter=200))
+        return jnp.vdot(c, x)
+
+    gA, gb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(A), jnp.asarray(b))
+
+    def loss_d(A, b):
+        return jnp.vdot(c, jnp.linalg.solve(A, b))
+
+    gA2, gb2 = jax.grad(loss_d, argnums=(0, 1))(jnp.asarray(A), jnp.asarray(b))
+    assert np.allclose(np.asarray(gA), np.asarray(gA2), atol=1e-8)
+    assert np.allclose(np.asarray(gb), np.asarray(gb2), atol=1e-8)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+def test_ad_eigsolve_hermitian_values(dtype):
+    """Gradient of a weighted eigenvalue sum vs the eigh oracle."""
+    rng = np.random.default_rng(73)
+    A = hermitize(rand_mat(rng, n, n, dtype))
+    x0 = rand_vec(rng, n, dtype)
+    wts = jnp.asarray([1.0, 0.5])
+
+    def loss_krylov(A):
+        vals, vecs, info = kk.eigsolve(
+            A, jnp.asarray(x0), 2, "SR", ishermitian=True, tol=1e-12, krylovdim=n
+        )
+        return jnp.sum(wts * vals)
+
+    def loss_dense(A):
+        w = jnp.linalg.eigvalsh(A)
+        return jnp.sum(wts * w[:2])
+
+    g1 = jax.grad(loss_krylov)(jnp.asarray(A))
+    g2 = jax.grad(loss_dense)(jnp.asarray(A))
+    assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-7)
+
+
+def test_ad_eigsolve_hermitian_vectors():
+    """Gauge-invariant eigenvector loss |<c, v>|^2 vs the eigh oracle."""
+    rng = np.random.default_rng(74)
+    A = hermitize(rand_mat(rng, n, n, np.float64))
+    x0 = rand_vec(rng, n, np.float64)
+    c = rand_vec(rng, n, np.float64)
+
+    def loss_krylov(A):
+        vals, vecs, info = kk.eigsolve(
+            A, jnp.asarray(x0), 1, "LR", ishermitian=True, tol=1e-12, krylovdim=n
+        )
+        v = jax.tree_util.tree_map(lambda l: l[0], vecs)
+        return jnp.abs(jnp.vdot(c, v)) ** 2
+
+    def loss_dense(A):
+        w, V = jnp.linalg.eigh(A)
+        return jnp.abs(jnp.vdot(c, V[:, -1])) ** 2
+
+    g1 = np.asarray(jax.grad(loss_krylov)(jnp.asarray(A)))
+    g2 = np.asarray(jax.grad(loss_dense)(jnp.asarray(A)))
+    # the Hermitian (Lanczos / eigh) paths define the gradient only up to
+    # symmetrization (the primal is insensitive to antisymmetric perturbations)
+    assert np.allclose(g1 + g1.T, g2 + g2.T, atol=1e-6)
+
+
+def test_ad_eigsolve_general_values_fd():
+    """Non-Hermitian: eigenvalue gradient vs central finite differences."""
+    rng = np.random.default_rng(75)
+    A = rand_mat(rng, n, n, np.float64) + np.diag(np.linspace(1, 2, n))
+    x0 = rand_vec(rng, n, np.float64)
+
+    def loss(A):
+        vals, vecs, info = kk.eigsolve(
+            A, jnp.asarray(x0), 1, "LR", tol=1e-12, krylovdim=n
+        )
+        return jnp.real(vals[0])
+
+    g = np.asarray(jax.grad(lambda A: loss(A))(jnp.asarray(A)))
+    eps = 1e-6
+    rng2 = np.random.default_rng(0)
+    for _ in range(5):
+        i, j = rng2.integers(0, n, 2)
+        Ap = A.copy(); Ap[i, j] += eps
+        Am = A.copy(); Am[i, j] -= eps
+        fd = (float(loss(jnp.asarray(Ap))) - float(loss(jnp.asarray(Am)))) / (2 * eps)
+        assert abs(g[i, j] - fd) < 1e-5, (i, j, g[i, j], fd)
+
+
+def test_ad_svdsolve_values():
+    """Gradient of a singular-value sum vs the jnp.linalg.svd oracle."""
+    rng = np.random.default_rng(76)
+    A = rand_mat(rng, 2 * n, n, np.float64)
+    x0 = A @ rand_vec(rng, n, np.float64)
+
+    def loss_krylov(A):
+        vals, lv, rv, info = kk.svdsolve(
+            A, jnp.asarray(x0), 2, "LR", tol=1e-12, krylovdim=n, maxiter=100
+        )
+        return jnp.sum(vals)
+
+    def loss_dense(A):
+        s = jnp.linalg.svd(A, compute_uv=False)
+        return s[0] + s[1]
+
+    g1 = jax.grad(loss_krylov)(jnp.asarray(A))
+    g2 = jax.grad(loss_dense)(jnp.asarray(A))
+    assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_ad_svdsolve_vectors():
+    """Gauge-invariant singular-vector loss vs the svd oracle."""
+    rng = np.random.default_rng(77)
+    A = rand_mat(rng, 2 * n, n, np.float64)
+    x0 = A @ rand_vec(rng, n, np.float64)
+    c = rand_vec(rng, 2 * n, np.float64)
+    d = rand_vec(rng, n, np.float64)
+
+    def loss_krylov(A):
+        vals, lv, rv, info = kk.svdsolve(
+            A, jnp.asarray(x0), 1, "LR", tol=1e-12, krylovdim=n, maxiter=100
+        )
+        u = jax.tree_util.tree_map(lambda l: l[0], lv)
+        v = jax.tree_util.tree_map(lambda l: l[0], rv)
+        return jnp.vdot(c, u) * jnp.vdot(v, d)  # gauge-invariant product
+
+    def loss_dense(A):
+        U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
+        return jnp.vdot(c, U[:, 0]) * jnp.vdot(Vh[0, :].conj(), d)
+
+    g1 = jax.grad(loss_krylov)(jnp.asarray(A))
+    g2 = jax.grad(loss_dense)(jnp.asarray(A))
+    # sign gauge: both losses flip sign together under u,v -> -u,-v, so the
+    # gradient is gauge-invariant only up to the common sign of the pair
+    ok = np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-6) or np.allclose(
+        np.asarray(g1), -np.asarray(g2), atol=1e-6
+    )
+    assert ok
