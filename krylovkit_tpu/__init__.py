@@ -35,6 +35,16 @@ from .algorithms import (  # noqa: F401
 )
 from .ops.vector import VectorSpace  # noqa: F401
 from .ops.block import Block  # noqa: F401
+from .factorizations.iterators import (  # noqa: F401
+    LanczosIterator,
+    ArnoldiIterator,
+    GKLIterator,
+    BlockLanczosIterator,
+    basis,
+    rayleighquotient,
+    residual,
+    normres,
+)
 from .ops.operator import LinearOperator, as_operator  # noqa: F401
 from .solvers.eigsolve import eigsolve, schursolve, realeigsolve  # noqa: F401
 from .solvers.linsolve import linsolve, reallinsolve  # noqa: F401

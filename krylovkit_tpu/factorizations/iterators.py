@@ -1,0 +1,176 @@
+"""Public iterator API over the Krylov factorizations.
+
+Mirrors the reference's iterator protocol (``src/factorizations/krylov.jl:30-134``):
+``initialize`` / ``expand`` / ``shrink`` plus the accessors ``basis``,
+``rayleighquotient``, ``residual``, ``normres``.  TPU-functionally: the
+factorization is an immutable static-shape state advanced by pure functions, so
+user-driven stepping composes with ``jit``/``lax`` control flow (the reference's
+user-steppable iteration, ``src/factorizations/lanczos.jl:110-127``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import basis as bs
+from ..ops import orthonormal as on
+from ..ops.operator import as_operator
+from ..ops.vector import STANDARD, VectorSpace, scalartype
+from . import gkl as gf
+from . import krylov as kf
+from . import blocklanczos as bf
+
+PyTree = Any
+
+__all__ = [
+    "LanczosIterator",
+    "ArnoldiIterator",
+    "GKLIterator",
+    "BlockLanczosIterator",
+    "basis",
+    "rayleighquotient",
+    "residual",
+    "normres",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class _KrylovIterator:
+    """Shared machinery of Lanczos/Arnoldi iterators (unified expansion)."""
+
+    op: Any
+    x0: Any
+    krylovdim: int = 30
+    orth: on.Orthogonalizer = on.cgs2
+    space: VectorSpace = STANDARD
+    hermitian_expand: bool = False
+
+    def initialize(self) -> kf.KrylovState:
+        op = as_operator(self.op)
+        cdt = scalartype(jax.eval_shape(op.normal, self.x0), self.x0)
+        return kf.initialize(self.x0, self.krylovdim, cdt, self.space)
+
+    def expand(self, state: kf.KrylovState) -> kf.KrylovState:
+        op = as_operator(self.op)
+        fn = kf.expand_hermitian if self.hermitian_expand else kf.expand
+        return fn(op.normal, state, self.orth, self.space)
+
+    def shrink(self, state: kf.KrylovState, k) -> kf.KrylovState:
+        """Truncate to the first ``k`` vectors (mask-based; reference
+        ``shrink!``, ``src/factorizations/lanczos.jl:273-291``)."""
+        m1 = state.H.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
+        keep = (rows <= k) & (cols < k)
+        H = jnp.where(keep, state.H, 0)
+        ki = jnp.asarray(k, jnp.int32)
+        beta = jnp.abs(
+            jax.lax.dynamic_slice(
+                state.H, (ki, jnp.maximum(ki - 1, 0)), (1, 1)
+            )[0, 0]
+        )
+        return kf.KrylovState(state.V, H, jnp.asarray(k, jnp.int32), beta)
+
+
+@dataclasses.dataclass(frozen=True)
+class LanczosIterator(_KrylovIterator):
+    """Hermitian 3-term recurrence + drift sweep (reference
+    ``src/factorizations/lanczos.jl``)."""
+
+    hermitian_expand: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ArnoldiIterator(_KrylovIterator):
+    """Full orthogonalization against the basis (reference
+    ``src/factorizations/arnoldi.jl``)."""
+
+    hermitian_expand: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class GKLIterator:
+    """Golub-Kahan-Lanczos bidiagonalization iterator (reference
+    ``src/factorizations/gkl.jl``)."""
+
+    op: Any
+    x0: Any  # codomain (left) starting vector
+    krylovdim: int = 30
+    orth: on.Orthogonalizer = on.cgs2
+    space: VectorSpace = STANDARD
+
+    def initialize(self) -> gf.GKLState:
+        op = as_operator(self.op)
+        if op.adjoint is None:
+            op = op.with_adjoint_from(self.x0)
+        cdt = scalartype(jax.eval_shape(op.apply_adjoint, self.x0), self.x0)
+        return gf.initialize(op, self.x0, self.krylovdim, cdt, self.space)
+
+    def expand(self, state: gf.GKLState) -> gf.GKLState:
+        op = as_operator(self.op)
+        if op.adjoint is None:
+            op = op.with_adjoint_from(self.x0)
+        return gf.expand(op, state, self.orth, self.space)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockLanczosIterator:
+    """Block Lanczos iterator (reference ``src/factorizations/blocklanczos.jl``)."""
+
+    op: Any
+    X0: Any  # stacked starting block
+    krylovdim: int = 30
+    qr_tol: float = -1.0
+    space: VectorSpace = STANDARD
+
+    def _qr_tol(self, cdt):
+        if self.qr_tol >= 0:
+            return jnp.asarray(self.qr_tol, jnp.finfo(cdt).dtype)
+        rdt = jnp.finfo(cdt).dtype
+        return jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
+
+    def initialize(self) -> bf.BlockLanczosState:
+        op = as_operator(self.op)
+        x0 = jax.tree_util.tree_map(lambda l: l[0], self.X0)
+        cdt = scalartype(jax.eval_shape(op.normal, x0), self.X0)
+        return bf.initialize(
+            self.X0, self.krylovdim, cdt, self._qr_tol(cdt), self.space
+        )
+
+    def expand(self, state: bf.BlockLanczosState) -> bf.BlockLanczosState:
+        op = as_operator(self.op)
+        cdt = jax.tree_util.tree_leaves(state.H)[0].dtype
+        return bf.expand(op.normal, state, self._qr_tol(cdt), self.space)
+
+
+# ---- accessors (reference src/factorizations/krylov.jl:30-92) ----
+
+def basis(state):
+    """The stacked basis of a factorization state (``V``; for GKL pass the
+    state and read ``.U``/``.V`` directly for the two sides)."""
+    return state.V
+
+
+def rayleighquotient(state):
+    """The projected matrix buffer (active block ``[:k, :k]``)."""
+    if isinstance(state, gf.GKLState):
+        return state.B
+    return state.H
+
+
+def residual(state):
+    """The (normalized) residual direction: the next basis vector slot."""
+    if isinstance(state, gf.GKLState):
+        return bs.get(state.U, state.k)
+    if isinstance(state, bf.BlockLanczosState):
+        return state.X
+    return bs.get(state.V, state.k)
+
+
+def normres(state):
+    """Residual norm β of the factorization."""
+    return state.beta

@@ -45,10 +45,16 @@ class _LoopState(NamedTuple):
 
 
 def _process(H, k, beta, which, tol, howmany):
-    """Projected eig + sort + convergence count.  Returns (nconv, vals, U, res)."""
+    """Projected eig + sort + convergence count.  Returns (nconv, vals, U, res).
+
+    The Hermitian Rayleigh quotient is reconstructed from the *lower triangle*
+    of the buffer: the 3-term expansion (``kf.expand_hermitian``) writes only
+    ``(α, β)`` per column (no superdiagonal), while restarts write both
+    triangles — the lower triangle is always complete."""
     m1 = H.shape[0]
-    T = H  # full buffer; active block [:k,:k]
-    w, U, valid = dense.eigh_active((T + T.conj().T) / 2, k)
+    L = jnp.tril(H)
+    T = L + jnp.tril(H, -1).conj().T
+    w, U, valid = dense.eigh_active(T, k)
     perm = dense.sort_perm(w, valid, which)
     w = w[perm]
     U = U[:, perm]
@@ -133,7 +139,7 @@ def eigsolve_lanczos(
 
     def expand_one(c):
         fact, numops = c
-        return kf.expand(op.normal, fact, alg.orth, space), numops + 1
+        return kf.expand_hermitian(op.normal, fact, alg.orth, space), numops + 1
 
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops
