@@ -94,6 +94,7 @@ def expand_hermitian(
     state: KrylovState,
     orth: on.Orthogonalizer,
     space: VectorSpace = STANDARD,
+    verbosity: int = 0,
 ) -> KrylovState:
     """Hermitian Lanczos step: 3-term recurrence + ONE full drift sweep.
 
@@ -118,6 +119,19 @@ def expand_hermitian(
         lambda lw, lv: lw - bcoef.astype(lw.dtype) * lv, w, vkm1
     )
     alpha = space.inner(vk, w)
+    if jnp.issubdtype(alpha.dtype, jnp.complexfloating):
+        # hermiticity check (reference src/factorizations/lanczos.jl:172-178)
+        from ..info import warn_if
+
+        rdt = jnp.finfo(alpha.dtype).dtype
+        htol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
+        warn_if(
+            verbosity,
+            jnp.abs(jnp.imag(alpha)) > htol * jnp.maximum(jnp.abs(alpha), 1),
+            "Lanczos iteration: operator does not appear to be hermitian: "
+            "imag(alpha) = {ia}",
+            ia=jnp.imag(alpha),
+        )
     w = jax.tree_util.tree_map(
         lambda lw, lv: lw - alpha.astype(lw.dtype) * lv, w, vk
     )

@@ -18,6 +18,8 @@ __all__ = [
     "WARN",
     "STARTSTOP",
     "EACHITERATION",
+    "log_if",
+    "warn_if",
 ]
 
 # Verbosity levels (reference src/KrylovKit.jl:158-162)
@@ -25,6 +27,29 @@ SILENT = 0
 WARN = 1
 STARTSTOP = 2
 EACHITERATION = 3
+
+
+def log_if(verbosity: int, level: int, fmt: str, **kw):
+    """Emit a device-side log line when the (static) verbosity allows.
+
+    The reference logs through Julia's ``@info``/``@warn`` at 4 levels
+    (``src/KrylovKit.jl:158-162``; per-iteration messages e.g.
+    ``src/factorizations/lanczos.jl:218-220``).  Under jit the static
+    ``verbosity`` compiles the print in or out — zero cost when silent."""
+    if verbosity >= level:
+        jax.debug.print(fmt, **kw)
+
+
+def warn_if(verbosity: int, cond, fmt: str, **kw):
+    """Conditional warning (reference ``@warn``): printed only when the traced
+    condition holds at runtime and the static verbosity is ≥ WARN."""
+    if verbosity >= WARN:
+        jax.lax.cond(
+            cond,
+            lambda kw_: jax.debug.print(fmt, **kw_),
+            lambda kw_: None,
+            kw,
+        )
 
 
 class ConvergenceInfo(NamedTuple):

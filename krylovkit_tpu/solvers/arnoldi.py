@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .. import dense
 from ..algorithms import Arnoldi
 from ..factorizations import krylov as kf
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, EACHITERATION, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops.operator import LinearOperator, probe_dtype
 from ..ops.vector import VectorSpace, STANDARD
@@ -136,6 +136,12 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt):
             lambda a: a[0],
             lambda a: _restart(a[0], a[1], a[2], a[0].beta, keep),
             (fact, T, Q),
+        )
+        log_if(
+            alg.verbosity, EACHITERATION,
+            "Arnoldi schursolve in iteration {it}: {nc} values converged, "
+            "normres = {nr}",
+            it=numiter, nc=nconv, nr=res[: min(8, m)],
         )
         return _LoopState(fact, numiter, numops, nconv, T, Q, res, done)
 

@@ -28,7 +28,7 @@ from ..algorithms import GMRES
 from ..dense.givens import givens
 from ..dense.triangular import solve_upper_active
 from ..factorizations import krylov as kf
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, EACHITERATION, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops.operator import LinearOperator, apply_shifted, probe_dtype
 from ..ops.vector import STANDARD, VectorSpace, add
@@ -173,8 +173,20 @@ def linsolve_gmres(
         done=normr0 <= tol,
     )
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
+    conv = (st.normr <= tol).astype(jnp.int32)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "GMRES linsolve finished after {it} restarts: converged = {c}, "
+        "normres = {nr}, numops = {no}",
+        it=st.numiter, c=conv, nr=st.normr, no=st.numops,
+    )
+    warn_if(
+        alg.verbosity, conv == 0,
+        "GMRES linsolve stopped without converging after {it} iterations: "
+        "normres = {nr}", it=st.numiter, nr=st.normr,
+    )
     info = ConvergenceInfo(
-        converged=(st.normr <= tol).astype(jnp.int32),
+        converged=conv,
         residual=st.r,
         normres=st.normr,
         numiter=st.numiter,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .. import dense
 from ..algorithms import Lanczos
 from ..factorizations import krylov as kf
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, EACHITERATION, STARTSTOP, WARN, log_if, warn_if
 from ..ops import basis as bs
 from ..ops.operator import LinearOperator
 from ..ops.vector import VectorSpace, STANDARD
@@ -139,7 +139,12 @@ def eigsolve_lanczos(
 
     def expand_one(c):
         fact, numops = c
-        return kf.expand_hermitian(op.normal, fact, alg.orth, space), numops + 1
+        return (
+            kf.expand_hermitian(
+                op.normal, fact, alg.orth, space, verbosity=alg.verbosity
+            ),
+            numops + 1,
+        )
 
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops
@@ -179,6 +184,12 @@ def eigsolve_lanczos(
         fact = jax.lax.cond(
             done, lambda a: a[0], do_restart, (fact, vals, U)
         )
+        log_if(
+            alg.verbosity, EACHITERATION,
+            "Lanczos eigsolve in iteration {it}: {nc} values converged, "
+            "normres = {nr}",
+            it=numiter, nc=nconv, nr=res[:howmany],
+        )
         return _LoopState(fact, numiter, numops, nconv, vals, U, res, done)
 
     def outer_cond(st: _LoopState):
@@ -203,8 +214,21 @@ def eigsolve_lanczos(
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )
+    nconv_out = jnp.minimum(st.nconv, howmany)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "Lanczos eigsolve finished after {it} iterations: {nc} values "
+        "converged, numops = {no}, normres = {nr}",
+        it=st.numiter, nc=nconv_out, no=st.numops, nr=st.resnorms[:howmany],
+    )
+    warn_if(
+        alg.verbosity, nconv_out < howmany,
+        "Lanczos eigsolve stopped without convergence: {nc} of "
+        f"{howmany} values converged " + "after {it} iterations",
+        nc=nconv_out, it=st.numiter,
+    )
     info = ConvergenceInfo(
-        converged=jnp.minimum(st.nconv, howmany),
+        converged=nconv_out,
         residual=residuals,
         normres=st.resnorms[:howmany],
         numiter=st.numiter,
