@@ -40,6 +40,7 @@ from .factorizations.iterators import (  # noqa: F401
     ArnoldiIterator,
     GKLIterator,
     BlockLanczosIterator,
+    BiArnoldiIterator,
     basis,
     rayleighquotient,
     residual,

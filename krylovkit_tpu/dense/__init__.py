@@ -9,7 +9,7 @@ from .masking import (  # noqa: F401
 from .hermitian import eigh_active, geneigh_active  # noqa: F401
 from .schur import schur_active, schur_eigvals  # noqa: F401
 from .trevc import triangular_eigvecs  # noqa: F401
-from .reorder import sort_schur  # noqa: F401
+from .reorder import sort_schur, partition_schur  # noqa: F401
 from .givens import givens  # noqa: F401
 from .svd import svd_active  # noqa: F401
 from .triangular import solve_upper_active, expm_active  # noqa: F401

@@ -18,7 +18,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sort_schur"]
+__all__ = ["sort_schur", "partition_schur"]
 
 
 def _swap_rotation(d1, t12, d2, cdt):
@@ -80,3 +80,18 @@ def sort_schur(
 
     T, Q, key = jax.lax.fori_loop(0, m, one_pass, (T, Q, key))
     return T, Q, key
+
+
+def partition_schur(T: jax.Array, Q: jax.Array, select: jax.Array):
+    """Move the selected eigenvalues to the leading block — the reference's
+    ``trsen!``/``partitionschur!`` (``src/dense/linalg.jl:388-393, 538-585``).
+
+    ``select`` is a boolean (m,) mask; returns ``(T, Q, nselected)``.  A stable
+    reordering: selected eigenvalues keep their relative order, as do the rest.
+    """
+    m = T.shape[0]
+    rdt = jnp.finfo(T.dtype).dtype
+    pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0).astype(rdt)
+    key = jnp.where(select, pos, pos + m)  # stable two-group key
+    T, Q, _ = sort_schur(T, Q, key)
+    return T, Q, jnp.sum(select.astype(jnp.int32))

@@ -31,6 +31,7 @@ __all__ = [
     "ArnoldiIterator",
     "GKLIterator",
     "BlockLanczosIterator",
+    "BiArnoldiIterator",
     "basis",
     "rayleighquotient",
     "residual",
@@ -145,6 +146,43 @@ class BlockLanczosIterator:
         op = as_operator(self.op)
         cdt = jax.tree_util.tree_leaves(state.H)[0].dtype
         return bf.expand(op.normal, state, self._qr_tol(cdt), self.space)
+
+
+@dataclasses.dataclass(frozen=True)
+class BiArnoldiIterator:
+    """Pair of Arnoldi factorizations for ``A`` and ``Aᴴ`` expanded in
+    lock-step (reference ``src/factorizations/biarnoldi.jl:1-83``).  State is a
+    ``(right, left)`` tuple of :class:`~..factorizations.krylov.KrylovState`."""
+
+    op: Any
+    v0: Any
+    w0: Any
+    krylovdim: int = 30
+    orth: on.Orthogonalizer = on.cgs2
+    space: VectorSpace = STANDARD
+
+    def _op(self):
+        op = as_operator(self.op)
+        if op.adjoint is None:
+            op = op.with_adjoint_from(self.v0)
+        return op
+
+    def initialize(self):
+        op = self._op()
+        cdt = jnp.result_type(
+            scalartype(jax.eval_shape(op.normal, self.v0), self.v0)
+        )
+        return (
+            kf.initialize(self.v0, self.krylovdim, cdt, self.space),
+            kf.initialize(self.w0, self.krylovdim, cdt, self.space),
+        )
+
+    def expand(self, state):
+        op = self._op()
+        fV, fW = state
+        fV = kf.expand(op.normal, fV, self.orth, self.space)
+        fW = kf.expand(op.apply_adjoint, fW, self.orth, self.space)
+        return fV, fW
 
 
 # ---- accessors (reference src/factorizations/krylov.jl:30-92) ----
