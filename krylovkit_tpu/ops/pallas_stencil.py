@@ -1,0 +1,141 @@
+"""Pallas TPU kernel for the 1D Laplacian stencil SpMV.
+
+The benchmark operator (BASELINE.json config 1) as a hand-scheduled kernel:
+the vector is viewed as ``(rows, 128)`` lanes; each grid step DMAs a row-tile
+plus one halo row on each side from HBM into VMEM, computes
+
+    y[i] = 2 x[i] − x[i−1] − x[i+1]        (Dirichlet ends)
+
+entirely in VMEM (lane shifts + row-carry for the flattened adjacency), and
+writes the tile.  This replaces XLA's roll-based lowering with one explicit
+streaming pass; it is the template for further stencil/SpMV kernels
+(double-buffering per the Pallas guide patterns).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .operator import LinearOperator
+
+__all__ = ["laplacian_1d_pallas"]
+
+LANES = 128
+
+
+def _kernel(x_hbm, y_ref, scratch, sems, *, tile_rows, total_rows):
+    i = pl.program_id(0)
+    TR = tile_rows
+
+    # main tile rows -> scratch[1 : TR+1]
+    main = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * TR, TR), :],
+        scratch.at[pl.ds(1, TR), :],
+        sems.at[0],
+    )
+    main.start()
+
+    # top halo row (global row i*TR - 1) -> scratch[0]
+    @pl.when(i > 0)
+    def _():
+        top = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * TR - 1, 1), :], scratch.at[pl.ds(0, 1), :],
+            sems.at[1],
+        )
+        top.start()
+        top.wait()
+
+    @pl.when(i == 0)
+    def _():
+        scratch[0, :] = jnp.zeros((LANES,), scratch.dtype)
+
+    # bottom halo row (global row (i+1)*TR) -> scratch[TR+1]
+    @pl.when((i + 1) * TR < total_rows)
+    def _():
+        bot = pltpu.make_async_copy(
+            x_hbm.at[pl.ds((i + 1) * TR, 1), :],
+            scratch.at[pl.ds(TR + 1, 1), :],
+            sems.at[2],
+        )
+        bot.start()
+        bot.wait()
+
+    @pl.when((i + 1) * TR >= total_rows)
+    def _():
+        scratch[TR + 1, :] = jnp.zeros((LANES,), scratch.dtype)
+
+    main.wait()
+
+    x = scratch[:]  # (TR+2, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    # left neighbor in flattened order: lane-1, with lane 0 taking the
+    # previous row's last lane
+    xm = pltpu.roll(x, 1, axis=1)
+    prev_last = pltpu.roll(x, 1, axis=0)[:, LANES - 1][:, None]
+    xm = jnp.where(lane == 0, prev_last, xm)
+    # right neighbor: lane+1, lane 127 takes the next row's first lane
+    # (pltpu.roll requires non-negative shifts: roll by size-1 ≡ roll by -1)
+    xp = pltpu.roll(x, LANES - 1, axis=1)
+    next_first = pltpu.roll(x, TR + 1, axis=0)[:, 0][:, None]
+    xp = jnp.where(lane == LANES - 1, next_first, xp)
+
+    center = x[1 : TR + 1]
+    y = 2 * center - xm[1 : TR + 1] - xp[1 : TR + 1]
+
+    # Dirichlet boundary corrections at the global first/last element
+    row = jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 0) + i * TR
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 1)
+    first = (row == 0) & (lane_c == 0)
+    last = (row == total_rows - 1) & (lane_c == LANES - 1)
+    # xm/xp at the ends were halo zeros already, but the halos at i==0 /
+    # last tile were zeroed explicitly, so only within-row wrap needs fixing:
+    # for the first element, xm wrapped from scratch row 0 (zeroed) — fine;
+    # for the last, xp came from scratch row TR+1 (zeroed) — fine.
+    del first, last
+    y_ref[:] = y
+
+
+def laplacian_1d_pallas(
+    n: int, dtype=jnp.float32, tile_rows: int = 512, interpret: bool = False
+) -> LinearOperator:
+    """Pallas-kernel 1D Dirichlet Laplacian operator on vectors of length ``n``
+    (``n`` must be a multiple of 128)."""
+    if n % LANES != 0:
+        raise ValueError(f"n={n} must be a multiple of {LANES}")
+    rows = n // LANES
+    tr = min(tile_rows, rows)
+    while rows % tr != 0:
+        tr //= 2
+    num_tiles = rows // tr
+
+    kern = partial(_kernel, tile_rows=tr, total_rows=rows)
+
+    @jax.jit
+    def apply(x):
+        x2 = x.reshape(rows, LANES)
+        y2 = pl.pallas_call(
+            kern,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), x2.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((tr + 2, LANES), x2.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=3 * n, bytes_accessed=2 * n * jnp.dtype(dtype).itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x2)
+        return y2.reshape(n)
+
+    return LinearOperator(apply, apply)
