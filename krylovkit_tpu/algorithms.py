@@ -92,7 +92,16 @@ class _KrylovAlgorithm:
 
 @dataclasses.dataclass(frozen=True)
 class Lanczos(_KrylovAlgorithm):
-    """Lanczos for Hermitian eigenproblems (reference ``src/algorithms.jl:119-170``)."""
+    """Lanczos for Hermitian eigenproblems (reference ``src/algorithms.jl:119-170``).
+
+    ``reorth``: ``"full"`` (reference behavior — one full drift sweep per step)
+    or ``"selective"`` (Simon's ω-recurrence partial reorthogonalization: the
+    drift sweep runs only when the estimated orthogonality loss crosses
+    ``sqrt(eps)`` — semiorthogonality keeps Ritz values accurate to O(eps)
+    while skipping most basis sweeps, the dominant HBM cost).
+    """
+
+    reorth: str = "full"
 
 
 @dataclasses.dataclass(frozen=True)

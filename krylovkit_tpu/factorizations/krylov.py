@@ -35,7 +35,13 @@ from ..ops.vector import VectorSpace, STANDARD
 
 PyTree = Any
 
-__all__ = ["KrylovState", "initialize", "expand", "expand_hermitian"]
+__all__ = [
+    "KrylovState",
+    "initialize",
+    "expand",
+    "expand_hermitian",
+    "expand_hermitian_selective",
+]
 
 
 class KrylovState(NamedTuple):
@@ -161,3 +167,111 @@ def expand_hermitian(
         H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
     )
     return KrylovState(V, H, k + 1, beta)
+
+
+def expand_hermitian_selective(
+    op_apply,
+    state: KrylovState,
+    omega: jax.Array,
+    omega_prev: jax.Array,
+    orth: on.Orthogonalizer,
+    space: VectorSpace = STANDARD,
+    force_sweep=False,
+):
+    """Hermitian Lanczos step with **partial reorthogonalization**.
+
+    Tracks Simon's ω-recurrence estimating ``|⟨v_j, v_{k+1}⟩|`` from the
+    tridiagonal coefficients alone (H. D. Simon, *The Lanczos algorithm with
+    partial reorthogonalization*, Math. Comp. 42 (1984)); the full drift sweep
+    (the dominant HBM cost — two basis passes) runs only when
+    ``max_j ω_j > sqrt(eps)``, preserving *semiorthogonality* which is enough
+    for O(eps)-accurate Ritz values.  No reference counterpart (KrylovKit
+    always sweeps); this is the TPU build's opt-in fast path
+    (``Lanczos(reorth="selective")``).
+
+    Returns ``(state, omega_new, omega, swept)``.
+    """
+    V, H, k, beta_prev = state
+    m1 = H.shape[0]
+    rdt = omega.dtype
+    eps = jnp.finfo(rdt).eps
+    thresh = jnp.sqrt(eps)
+
+    vk = bs.get(V, k)
+    w = op_apply(vk)
+    km1 = jnp.maximum(k - 1, 0)
+    vkm1 = bs.get(V, km1)
+    bcoef = jnp.where(k > 0, beta_prev, 0)
+    w = jax.tree_util.tree_map(
+        lambda lw, lv: lw - bcoef.astype(lw.dtype) * lv, w, vkm1
+    )
+    alpha = space.inner(vk, w)
+    w = jax.tree_util.tree_map(
+        lambda lw, lv: lw - alpha.astype(lw.dtype) * lv, w, vk
+    )
+    beta_raw = space.norm(w)
+
+    # --- ω-recurrence for the would-be v_{k+1} against v_j, j <= k ---
+    alphas = jnp.real(jnp.diagonal(H))  # α_j at [j, j]
+    betas = jnp.abs(
+        jnp.concatenate([jnp.diagonal(H, -1), jnp.zeros((1,), H.dtype)])
+    ).astype(rdt)  # β_j at [j+1, j]
+    a_k = jnp.real(alpha).astype(rdt)
+    b_k = jnp.maximum(beta_raw, eps)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (m1,), 0)
+    om_p1 = jnp.roll(omega, -1)
+    om_m1 = jnp.roll(omega, 1)
+    b_m1 = jnp.roll(betas, 1)
+    scale_n = jnp.maximum(jnp.abs(a_k) + b_k + bcoef, 1.0)
+    theta = eps * (betas + b_k) / b_k + eps * scale_n / b_k
+    om_new = (
+        betas * om_p1
+        + (alphas - a_k) * omega
+        + b_m1 * om_m1
+        - jnp.where(k > 0, bcoef, 0) * omega_prev
+    ) / b_k + theta
+    om_new = jnp.abs(om_new)
+    # boundary values: ω_{k+1,k} ~ eps-level, ω_{k+1,k+1} = 1; mask j > k
+    om_new = jnp.where(idx == k, eps * scale_n / b_k, om_new)
+    om_new = jnp.where(idx == k + 1, 1.0, om_new)
+    om_new = jnp.where(idx > k + 1, 0.0, om_new)
+
+    # force: the first expansion after a thick restart — the arrowhead spike
+    # gives A·v_keep O(β) components along all kept Ritz vectors, which the
+    # 3-term recurrence does not remove and the ω-recurrence does not model
+    need_sweep = jnp.logical_or(
+        jnp.max(jnp.where(idx < k, om_new, 0)) > thresh,
+        jnp.asarray(force_sweep),
+    )
+
+    def do_sweep(w):
+        w2, _ = on.orthogonalize(w, V, k + 1, on.cgs, space)
+        return w2
+
+    w = jax.lax.cond(need_sweep, do_sweep, lambda w: w, w)
+    # after a sweep the basis is orthogonal to eps-level again
+    eps_row = jnp.where(idx <= k, eps, 0.0).astype(rdt)
+    om_out = jnp.where(need_sweep, eps_row, om_new)
+    om_out = jnp.where(idx == k + 1, 1.0, om_out)
+    om_cur = jnp.where(need_sweep, eps_row, omega)
+
+    beta = space.norm(w)
+    safe = jnp.where(beta > 0, beta, 1)
+    v_new = jax.tree_util.tree_map(
+        lambda l: jnp.where(beta > 0, l / safe.astype(l.dtype), 0 * l), w
+    )
+    V = bs.set(V, k + 1, v_new)
+    col = alpha.astype(H.dtype) * jax.nn.one_hot(
+        k, m1, dtype=H.dtype
+    ) + beta.astype(H.dtype) * jax.nn.one_hot(k + 1, m1, dtype=H.dtype)
+    colold = jax.lax.dynamic_slice(
+        H, (jnp.int32(0), jnp.asarray(k, jnp.int32)), (m1, 1)
+    )[:, 0]
+    mask = jax.nn.one_hot(k, m1, dtype=H.dtype) + jax.nn.one_hot(
+        k + 1, m1, dtype=H.dtype
+    )
+    col = colold * (1 - mask) + col
+    H = jax.lax.dynamic_update_slice(
+        H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
+    )
+    return KrylovState(V, H, k + 1, beta), om_out, om_cur, need_sweep

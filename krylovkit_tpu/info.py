@@ -29,6 +29,22 @@ STARTSTOP = 2
 EACHITERATION = 3
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _callbacks_supported() -> bool:
+    """Some PJRT backends (e.g. the axon TPU tunnel) do not support host
+    callbacks, which ``jax.debug.print`` needs; logging is dropped there."""
+    try:
+        pv = getattr(jax.devices()[0].client, "platform_version", "") or ""
+        if "axon" in pv:
+            return False
+    except Exception:
+        pass
+    return True
+
+
 def log_if(verbosity: int, level: int, fmt: str, **kw):
     """Emit a device-side log line when the (static) verbosity allows.
 
@@ -36,14 +52,14 @@ def log_if(verbosity: int, level: int, fmt: str, **kw):
     (``src/KrylovKit.jl:158-162``; per-iteration messages e.g.
     ``src/factorizations/lanczos.jl:218-220``).  Under jit the static
     ``verbosity`` compiles the print in or out — zero cost when silent."""
-    if verbosity >= level:
+    if verbosity >= level and _callbacks_supported():
         jax.debug.print(fmt, **kw)
 
 
 def warn_if(verbosity: int, cond, fmt: str, **kw):
     """Conditional warning (reference ``@warn``): printed only when the traced
     condition holds at runtime and the static verbosity is ≥ WARN."""
-    if verbosity >= WARN:
+    if verbosity >= WARN and _callbacks_supported():
         jax.lax.cond(
             cond,
             lambda kw_: jax.debug.print(fmt, **kw_),

@@ -124,17 +124,20 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt):
         fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
 
         nconv, T, Q, res = _process(fact.H, fact.k, fact.beta, which, tol)
-        numiter = st.numiter + 1
+        full = fact.k >= m
+        numiter = st.numiter + full.astype(jnp.int32)
         stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
         done = jnp.logical_or(
-            nconv >= howmany, jnp.logical_or(numiter >= alg.maxiter, stalled)
+            nconv >= howmany,
+            jnp.logical_or(full & (numiter >= alg.maxiter), stalled),
         )
         keep_raw = (3 * m + 2 * nconv) // 5
         keep = jnp.clip(keep_raw, 1, jnp.maximum(fact.k - 1, 1))
+        restart_now = jnp.logical_and(jnp.logical_not(done), fact.k >= m)
         fact = jax.lax.cond(
-            done,
-            lambda a: a[0],
+            restart_now,
             lambda a: _restart(a[0], a[1], a[2], a[0].beta, keep),
+            lambda a: a[0],
             (fact, T, Q),
         )
         log_if(

@@ -179,9 +179,10 @@ def bieigsolve_driver(
         flags = res <= tol
         nconv = jnp.sum(jnp.cumprod(flags.astype(jnp.int32))).astype(jnp.int32)
 
-        numiter = st.numiter + 1
+        full = L >= m
+        numiter = st.numiter + full.astype(jnp.int32)
         stalled = ((fV.beta <= btol) | (fW.beta <= btol)) & (L < m)
-        done = (nconv >= howmany) | (numiter >= alg.maxiter) | stalled
+        done = (nconv >= howmany) | (full & (numiter >= alg.maxiter)) | stalled
 
         keep = jnp.clip((3 * m + 2 * nconv) // 5, 1, jnp.maximum(L - 1, 1)).astype(
             jnp.int32
@@ -232,7 +233,8 @@ def bieigsolve_driver(
             fWn = kf.KrylovState(Wn, Kn, keep, fW.beta)
             return fVn, fWn, Mn
 
-        fV, fW, M = jax.lax.cond(done, lambda a: a, do_restart, (fV, fW, M))
+        restart_now = jnp.logical_not(done) & full
+        fV, fW, M = jax.lax.cond(restart_now, do_restart, lambda a: a, (fV, fW, M))
         return _LoopState(
             fV=fV, fW=fW, M=M, S=S, T=T, Q=Q, Z=Z, h=h, kv=kvv,
             rV=rV, rW=rW, brV=brV, brW=brW,

@@ -120,10 +120,12 @@ def eigsolve_blocklanczos(
         flags = res <= tol
         nconv = jnp.sum(jnp.cumprod(flags.astype(jnp.int32))).astype(jnp.int32)
 
-        numiter = st.numiter + 1
+        full = fact.k + fact.r > m
+        numiter = st.numiter + full.astype(jnp.int32)
         exhausted = jnp.logical_or(fact.r <= 0, fact.beta <= btol)
         done = jnp.logical_or(
-            nconv >= howmany, jnp.logical_or(numiter >= alg.maxiter, exhausted)
+            nconv >= howmany,
+            jnp.logical_or(full & (numiter >= alg.maxiter), exhausted),
         )
 
         keep_raw = (3 * m + 2 * nconv) // 5
@@ -152,7 +154,10 @@ def eigsolve_blocklanczos(
                 k=keep.astype(jnp.int32), beta=fact.beta,
             )
 
-        fact = jax.lax.cond(done, lambda a: a[0], do_restart, (fact, w, U, SU))
+        restart_now = jnp.logical_and(
+            jnp.logical_not(done), fact.k + fact.r > m
+        )
+        fact = jax.lax.cond(restart_now, do_restart, lambda a: a[0], (fact, w, U, SU))
         return _LoopState(fact, numiter, numops, nconv, w, U, res, done)
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)

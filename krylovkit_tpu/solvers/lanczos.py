@@ -137,40 +137,66 @@ def eigsolve_lanczos(
         done=jnp.asarray(False),
     )
 
-    def expand_one(c):
-        fact, numops = c
-        return (
-            kf.expand_hermitian(
-                op.normal, fact, alg.orth, space, verbosity=alg.verbosity
-            ),
-            numops + 1,
+    selective = getattr(alg, "reorth", "full") == "selective"
+    if selective and alg.eager:
+        raise ValueError(
+            "reorth='selective' is incompatible with eager=True (the "
+            "omega-recurrence state does not persist across eager processings)"
         )
+
+    def expand_one(c, force_sweep=False):
+        fact, numops, om, omp = c
+        if selective:
+            fact, om, omp, _ = kf.expand_hermitian_selective(
+                op.normal, fact, om, omp, alg.orth, space,
+                force_sweep=force_sweep,
+            )
+        else:
+            fact = kf.expand_hermitian(
+                op.normal, fact, alg.orth, space, verbosity=alg.verbosity
+            )
+        return fact, numops + 1, om, omp
 
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops
+        # ω-recurrence state for selective reorthogonalization; reset to the
+        # eps level at every restart (the kept Ritz vectors are orthonormal)
+        eps_r = jnp.finfo(rdt).eps
+        om0 = jnp.full((m + 1,), eps_r, rdt)
+        omp0 = jnp.full((m + 1,), eps_r, rdt)
 
         # --- inner expansion loop (do-while: ≥1 expansion if possible) ---
         def inner_cond(c):
-            fact, numops = c
+            fact, numops, om, omp = c
             go = jnp.logical_and(fact.k < m, fact.beta > btol)
             if alg.eager:
                 go = jnp.logical_and(go, fact.k < max(howmany, 1))
             return go
 
         can_expand = jnp.logical_and(fact.k < m, fact.beta > btol)
-        fact, numops = jax.lax.cond(
-            can_expand, expand_one, lambda c: c, (fact, numops)
+        # first expansion of the cycle: force the drift sweep after a restart
+        force_first = st.numiter > 0
+        fact, numops, om, omp = jax.lax.cond(
+            can_expand,
+            lambda c: expand_one(c, force_sweep=force_first),
+            lambda c: c,
+            (fact, numops, om0, omp0),
         )
-        fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
+        fact, numops, om, omp = jax.lax.while_loop(
+            inner_cond, expand_one, (fact, numops, om, omp)
+        )
 
         # --- process projected problem ---
         nconv, vals, U, res = _process(
             fact.H, fact.k, fact.beta, which, tol, howmany
         )
-        numiter = st.numiter + 1
+        # numiter counts restarts; eager processings at k < m are free
+        full = fact.k >= m
+        numiter = st.numiter + full.astype(jnp.int32)
         stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
         done = jnp.logical_or(
-            nconv >= howmany, jnp.logical_or(numiter >= alg.maxiter, stalled)
+            nconv >= howmany,
+            jnp.logical_or(full & (numiter >= alg.maxiter), stalled),
         )
 
         # --- thick restart (skipped when done) ---
@@ -181,8 +207,11 @@ def eigsolve_lanczos(
             fact, vals, U = args
             return _restart(fact, vals, U, fact.beta, keep)
 
+        # restart only when the subspace is full (eager processing at k < m
+        # must keep expanding, reference src/eigsolve/lanczos.jl:80-116)
+        restart_now = jnp.logical_and(jnp.logical_not(done), fact.k >= m)
         fact = jax.lax.cond(
-            done, lambda a: a[0], do_restart, (fact, vals, U)
+            restart_now, do_restart, lambda a: a[0], (fact, vals, U)
         )
         log_if(
             alg.verbosity, EACHITERATION,

@@ -156,17 +156,20 @@ def svdsolve_gkl(
         fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
 
         nconv, svals, P, Q, res = _process(fact.B, fact.k, fact.beta, which, tol)
-        numiter = st.numiter + 1
+        full = fact.k >= m
+        numiter = st.numiter + full.astype(jnp.int32)
         stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
         done = jnp.logical_or(
-            nconv >= howmany, jnp.logical_or(numiter >= alg.maxiter, stalled)
+            nconv >= howmany,
+            jnp.logical_or(full & (numiter >= alg.maxiter), stalled),
         )
         keep_raw = (3 * m + 2 * nconv) // 5
         keep = jnp.clip(keep_raw, 1, jnp.maximum(fact.k - 1, 1))
+        restart_now = jnp.logical_and(jnp.logical_not(done), fact.k >= m)
         fact = jax.lax.cond(
-            done,
-            lambda a: a[0],
+            restart_now,
             lambda a: _restart(a[0], a[1], a[2], a[3], a[0].beta, keep),
+            lambda a: a[0],
             (fact, svals, P, Q),
         )
         return _LoopState(fact, numiter, numops, nconv, svals, P, Q, res, done)
