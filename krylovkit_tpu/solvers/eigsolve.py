@@ -41,14 +41,14 @@ def _eigsolve_impl(op, x0, howmany, which, alg, space):
     return eigsolve_arnoldi(op, x0, howmany, which, alg, space)
 
 
-@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
-def _eigsolve_core(op, x0, howmany, which, alg, space):
+@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space", "alg_rrule"))
+def _eigsolve_core(op, x0, howmany, which, alg, space, alg_rrule=None):
     if isinstance(alg, BlockLanczos):
         return eigsolve_blocklanczos(op, x0, howmany, which, alg, space)
     from ..ad.eigsolve import eigsolve_vjp
 
     opd = op if op.adjoint is not None else op.with_adjoint_from(x0)
-    return eigsolve_vjp(howmany, which, alg, None, space, opd, x0)
+    return eigsolve_vjp(howmany, which, alg, alg_rrule, space, opd, x0)
 
 
 @partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
@@ -114,6 +114,7 @@ def eigsolve(
     orth=None,
     eager: Optional[bool] = None,
     verbosity: Optional[int] = None,
+    alg_rrule=None,
 ):
     """Find ``howmany`` extremal eigenvalues of a linear map.
 
@@ -156,7 +157,7 @@ def eigsolve(
         "SI",
     ):
         raise ValueError("which=LI/SI invalid for Hermitian problems")
-    return _eigsolve_core(op, x0, howmany, which, alg, space)
+    return _eigsolve_core(op, x0, howmany, which, alg, space, alg_rrule)
 
 
 def schursolve(

@@ -203,11 +203,11 @@ def svdsolve_gkl(
     return st.svals[:howmany], lvecs, rvecs, info
 
 
-@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
-def _svdsolve_core(op, x0, howmany, which, alg, space):
+@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space", "alg_rrule"))
+def _svdsolve_core(op, x0, howmany, which, alg, space, alg_rrule=None):
     from ..ad.svdsolve import svdsolve_vjp
 
-    return svdsolve_vjp(howmany, which, alg, None, space, op, x0)
+    return svdsolve_vjp(howmany, which, alg, alg_rrule, space, op, x0)
 
 
 def _default_x0(A, x0):
@@ -238,6 +238,7 @@ def svdsolve(
     orth=None,
     eager: Optional[bool] = None,
     verbosity: Optional[int] = None,
+    alg_rrule=None,
 ):
     """Find ``howmany`` extremal singular triplets of a linear map.
 
@@ -268,7 +269,7 @@ def svdsolve(
         alg = dataclasses.replace(alg, tol=tol)
     if alg.krylovdim > domain_dim:
         alg = dataclasses.replace(alg, krylovdim=domain_dim)
-    return _svdsolve_core(op, x0, howmany, which, alg, space)
+    return _svdsolve_core(op, x0, howmany, which, alg, space, alg_rrule)
 
 
 def realsvdsolve(A, x0: Optional[PyTree] = None, howmany: int = 1, which="LR", **kw):

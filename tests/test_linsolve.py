@@ -168,3 +168,44 @@ def test_identity_opcount():
     x, info = kk.linsolve(np.eye(n), b, tol=1e-10)
     assert int(info.converged) == 1
     assert np.allclose(np.asarray(x), b, atol=1e-10)
+
+
+def test_gmres_warm_start():
+    """x0 warm start: starting near the solution converges in fewer ops."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    A = rand_mat(rng, N, N, np.float64) + 2 * np.eye(N)
+    b = rand_vec(rng, N, np.float64)
+    xstar = np.linalg.solve(A, b)
+    tol = 1e-10
+    x_cold, info_cold = kk.linsolve(A, b, tol=tol, krylovdim=30, maxiter=100)
+    x0 = jnp.asarray(xstar + 1e-8 * rand_vec(rng, N, np.float64))
+    x_warm, info_warm = kk.linsolve(A, b, x0, tol=tol, krylovdim=30, maxiter=100)
+    assert int(info_warm.converged) == 1
+    assert int(info_warm.numops) < int(info_cold.numops)
+    assert np.allclose(np.asarray(x_warm), xstar, atol=1e-8)
+
+
+def test_alg_rrule_passthrough():
+    """Gradients with an explicit alg_rrule (different from the primal alg)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    A = rand_mat(rng, n, n, np.float64) + 2 * np.eye(n)
+    b = rand_vec(rng, n, np.float64)
+    c = rand_vec(rng, n, np.float64)
+
+    def loss(A):
+        x, _ = kk.linsolve(
+            A, b, tol=1e-12, krylovdim=n,
+            alg_rrule=kk.BiCGStab(tol=1e-12, maxiter=300),
+        )
+        return jnp.vdot(c, x)
+
+    g = jax.grad(loss)(jnp.asarray(A))
+    g2 = jax.grad(lambda A: jnp.vdot(c, jnp.linalg.solve(A, jnp.asarray(b))))(
+        jnp.asarray(A)
+    )
+    assert np.allclose(np.asarray(g), np.asarray(g2), atol=1e-7)
