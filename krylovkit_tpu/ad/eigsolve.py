@@ -61,6 +61,19 @@ def _fwd(howmany, which, alg, alg_rrule, space, op, x0):
 
 
 def _bwd(howmany, which, alg, alg_rrule, space, res, cot):
+    from ..algorithms import Arnoldi, Lanczos
+
+    if isinstance(alg_rrule, Arnoldi):
+        if not isinstance(alg, Lanczos):
+            raise NotImplementedError(
+                "Arnoldi-path eigsolve pullback is implemented for Hermitian "
+                "(Lanczos) primals; use a GMRES/BiCGStab alg_rrule otherwise"
+            )
+        return _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot)
+    return _bwd_gmres(howmany, which, alg, alg_rrule, space, res, cot)
+
+
+def _bwd_gmres(howmany, which, alg, alg_rrule, space, res, cot):
     from ..solvers.linsolve import _linsolve_impl
 
     op, x0, vals, vecs = res
@@ -117,3 +130,136 @@ def _bwd(howmany, which, alg, alg_rrule, space, res, cot):
 
 
 eigsolve_vjp.defvjp(_fwd, _bwd)
+
+
+def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
+    """Subspace-aware pullback for Hermitian primals (reference
+    ``ext/.../eigsolve.jl:318-419``): the subspace components come from the
+    antihermitian part of ``VᴴΔV`` divided by eigenvalue gaps (robust for
+    degenerate eigenvalues), and the orthogonal-complement components solve the
+    Sylvester problem ``(Aᴴ(1−P) + shift·P) W − W Λ = ΔV_perp`` as one
+    eigenvalue problem on ``(w, x)`` tuple pytrees with ``alg_rrule``."""
+    from .. import dense
+    from ..algorithms import EigSorter
+    from ..ops import basis as bs
+    from ..solvers.arnoldi import eigsolve_arnoldi
+
+    op, x0, vals, vecs = res
+    lbar_J, vbar_J = cot[0], cot[1]
+    n = howmany
+    cdt = jax.tree_util.tree_leaves(vecs)[0].dtype
+    rdt = jnp.finfo(cdt).dtype
+    tol = jnp.asarray(alg.tol, rdt)
+
+    dvals = jnp.conj(lbar_J[:n]).astype(cdt)  # CR cotangents
+    dvecs = _conj(jax.tree_util.tree_map(lambda l: l[:n], vbar_J))
+
+    # VdΔV[i, j] = <v_i, Δv_j>  — one Gram GEMM on the stacked bases
+    VdDV = bs.gram(vecs, dvecs)[:n, :n].astype(cdt)
+    a = (VdDV - VdDV.conj().T) / 2
+    gaps = vals[None, :n].astype(cdt) - vals[:n, None].astype(cdt)
+    inv_gaps = jnp.where(jnp.abs(gaps) < tol, 0, 1 / jnp.where(gaps == 0, 1, gaps))
+    a = a * inv_gaps + jnp.diag(jnp.real(dvals).astype(cdt))
+
+    # subspace components: z_i = Σ_j a[j, i] v_j
+    apad = jnp.zeros((jax.tree_util.tree_leaves(vecs)[0].shape[0], n), cdt)
+    apad = apad.at[:n, :].set(a)
+    Z0 = jax.tree_util.tree_map(
+        lambda lv: jnp.tensordot(
+            apad.T.astype(lv.dtype), lv, axes=[[1], [0]]
+        ),
+        vecs,
+    )  # stacked (n, ...) — z_i at row i
+
+    # complement part of the cotangents: ΔV_i − Σ_j VdΔV[j,i] v_j
+    vpad = jnp.zeros_like(apad).at[:n, :].set(VdDV)
+    Dperp = jax.tree_util.tree_map(
+        lambda ld, lv: ld
+        - jnp.tensordot(vpad.T.astype(lv.dtype), lv, axes=[[1], [0]]),
+        dvecs,
+        vecs,
+    )
+
+    # shift for the projected block if 0 would be more extremal than vals
+    key_last = dense.which_key(vals[n - 1 : n].astype(cdt), which)[0]
+    key_zero = dense.which_key(jnp.zeros((1,), cdt), which)[0]
+    shift = jnp.where(key_last < key_zero, 2 * jnp.conj(vals[n - 1]).astype(cdt), 0)
+
+    def proj(w):
+        c = bs.project(vecs, w, n, space)
+        return bs.unproject(vecs, c)
+
+    def block_op(wx):
+        w, x = wx
+        w0 = proj(w)
+        wperp = jax.tree_util.tree_map(lambda a_, b_: a_ - b_, w, w0)
+        wp = op.apply_adjoint(wperp)
+        wp = jax.tree_util.tree_map(
+            lambda l, l0: l + shift.astype(l.dtype) * l0, wp, w0
+        )
+        # − Σ_i ΔV_i x_i
+        wp = jax.tree_util.tree_map(
+            lambda l, ld: l
+            - jnp.tensordot(x.astype(ld.dtype), ld, axes=[[0], [0]]),
+            wp,
+            Dperp,
+        )
+        return wp, vals[:n].astype(cdt) * x
+
+    valsc = vals[:n].astype(cdt)
+    sorter = EigSorter(
+        by=lambda v: jnp.min(
+            jnp.abs(v[..., None] - jnp.conj(valsc)[None, :]), axis=-1
+        ),
+        rev=False,
+    )
+    w0 = (
+        jax.tree_util.tree_map(lambda l: jnp.zeros_like(l[0]), vecs),
+        jnp.ones((n,), cdt),
+    )
+    from ..ops.operator import LinearOperator as _LO
+
+    rvals, Ws, rinfo = eigsolve_arnoldi(
+        _LO(block_op, None), w0, n, sorter, alg_rrule, space
+    )
+    # Ws: tuple of stacked leaves: (w stacked (n, ...), x stacked (n, n))
+    Wvec, Wx = Ws
+    Zmat = Wx.T[:n, :n]  # Z[:, i] = x_i
+    # pseudo-inverse: with exactly degenerate eigenvalues the inner Krylov
+    # solve may return a rank-deficient Z (the reference warns in this case);
+    # pinv degrades gracefully instead of poisoning the gradient with NaNs
+    Zinv = jnp.linalg.pinv(Zmat, rtol=1e-10)
+    # complement-projected w_i
+    def qproj(l):
+        return l
+
+    Wq_c = bs.gram(vecs, Wvec)  # overlaps (cap, n-stacked)
+    Wq = jax.tree_util.tree_map(
+        lambda lw, lv: lw
+        - jnp.tensordot(
+            Wq_c[:, : lw.shape[0]].T.astype(lv.dtype), lv, axes=[[1], [0]]
+        ),
+        Wvec,
+        vecs,
+    )
+    # ws_i = z_i − Σ_j Wq_j Zinv[j, i]  → stacked: Z0 − Zinv^T · Wq
+    ws = jax.tree_util.tree_map(
+        lambda lz, lq: lz
+        - jnp.tensordot(Zinv.T.astype(lq.dtype), lq[:n], axes=[[1], [0]]),
+        Z0,
+        Wq,
+    )
+    # real Hermitian primal: the inner solve ran in complex arithmetic, but a
+    # consistent cotangent has vanishing imaginary part
+    if not jnp.issubdtype(cdt, jnp.complexfloating):
+        ws = jax.tree_util.tree_map(lambda l: jnp.real(l).astype(cdt), ws)
+
+    # operator cotangent: Ā_J = conj(Σ wᵢ vᵢᴴ)
+    opbar = None
+    for i in range(n):
+        v = _row(vecs, i)
+        _, op_vjp = jax.vjp(lambda o: o.normal(v), op)
+        (ob,) = op_vjp(_conj(_row(ws, i)))
+        opbar = ob if opbar is None else jax.tree_util.tree_map(jnp.add, opbar, ob)
+    x0bar = zerovector(x0)
+    return opbar, x0bar

@@ -176,3 +176,57 @@ def test_ad_svdsolve_vectors():
         np.asarray(g1), -np.asarray(g2), atol=1e-6
     )
     assert ok
+
+
+def test_ad_eigsolve_sylvester_path():
+    """alg_rrule=Arnoldi: subspace-aware Sylvester-as-eigenproblem pullback
+    (reference ext/.../eigsolve.jl:318-419) matches the dense oracle, including
+    a degenerate pair where the per-pair bordered solves are singular."""
+    rng = np.random.default_rng(78)
+    m = 30
+    A0 = rand_mat(rng, m, m, np.float64)
+    As = hermitize(A0)
+    w, V = np.linalg.eigh(As)
+    w[-1] = w[-2]  # doubly-degenerate top pair
+    A = (V * w) @ V.T
+    x0 = jnp.asarray(rand_vec(rng, m, np.float64))
+    rr = kk.Arnoldi(tol=1e-12, krylovdim=m, maxiter=100)
+
+    def loss(A):
+        vals, vecs, info = kk.eigsolve(
+            A, x0, 2, "LR", ishermitian=True, tol=1e-12, krylovdim=m,
+            alg_rrule=rr,
+        )
+        return jnp.sum(vals)
+
+    def loss_dense(A):
+        return jnp.sum(jnp.linalg.eigvalsh(A)[-2:])
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(A)))
+    gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(A)))
+    assert np.allclose(g + g.T, gd + gd.T, atol=1e-8)
+
+
+def test_ad_eigsolve_sylvester_vectors():
+    rng = np.random.default_rng(79)
+    m = 25
+    A = hermitize(rand_mat(rng, m, m, np.float64))
+    x0 = jnp.asarray(rand_vec(rng, m, np.float64))
+    c = jnp.asarray(rand_vec(rng, m, np.float64))
+    rr = kk.Arnoldi(tol=1e-12, krylovdim=m, maxiter=100)
+
+    def loss(A):
+        vals, vecs, info = kk.eigsolve(
+            A, x0, 1, "SR", ishermitian=True, tol=1e-12, krylovdim=m,
+            alg_rrule=rr,
+        )
+        v = jax.tree_util.tree_map(lambda l: l[0], vecs)
+        return jnp.abs(jnp.vdot(c, v)) ** 2
+
+    def loss_dense(A):
+        _, V = jnp.linalg.eigh(A)
+        return jnp.abs(jnp.vdot(c, V[:, 0])) ** 2
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(A)))
+    gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(A)))
+    assert np.allclose(g + g.T, gd + gd.T, atol=1e-7)
