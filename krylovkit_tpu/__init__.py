@@ -55,4 +55,9 @@ from .solvers.expintegrator import expintegrator, exponentiate  # noqa: F401
 from .solvers.golubye import geneigsolve  # noqa: F401
 from .solvers.biarnoldi import bieigsolve  # noqa: F401
 
+# subpackages for direct access (kk.dense.schur_active, kk.parallel.make_mesh, …)
+from . import dense  # noqa: F401
+from . import parallel  # noqa: F401
+from .ops import sparse  # noqa: F401
+
 __version__ = "0.1.0"

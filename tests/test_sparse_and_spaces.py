@@ -126,3 +126,27 @@ def test_sharded_mesh_gmres():
     Ad = 2 * np.eye(N_) - np.eye(N_, k=1) - np.eye(N_, k=-1)
     assert int(info.converged) == 1
     assert np.linalg.norm(Ad @ np.asarray(x) - np.asarray(b)) <= 1e-7
+
+
+def test_nested_tuple_svd_embedding():
+    """Custom-vector integration (reference test/nestedtuple.jl:1-30): the
+    Hermitian embedding [0 A; Aᴴ 0] acting on a (x, y) tuple pytree has
+    eigenvalues ±σ(A); eigsolve on tuple vectors recovers the singular values."""
+    rng = np.random.default_rng(106)
+    A = rand_mat(rng, 25, 15, np.float64)
+    Aj = jnp.asarray(A)
+
+    def f(xy):
+        x, y = xy
+        return (Aj @ y, Aj.T @ x)
+
+    x0 = (
+        jnp.asarray(rand_vec(rng, 25, np.float64)),
+        jnp.asarray(rand_vec(rng, 15, np.float64)),
+    )
+    vals, vecs, info = kk.eigsolve(
+        f, x0, 3, "LR", ishermitian=True, tol=1e-10, krylovdim=30, maxiter=60
+    )
+    want = np.linalg.svd(A, compute_uv=False)[:3]
+    assert int(info.converged) >= 3
+    assert np.allclose(np.asarray(vals), want, atol=1e-8)
