@@ -64,12 +64,11 @@ def _bwd(howmany, which, alg, alg_rrule, space, res, cot):
     from ..algorithms import Arnoldi, Lanczos
 
     if isinstance(alg_rrule, Arnoldi):
-        if not isinstance(alg, Lanczos):
-            raise NotImplementedError(
-                "Arnoldi-path eigsolve pullback is implemented for Hermitian "
-                "(Lanczos) primals; use a GMRES/BiCGStab alg_rrule otherwise"
-            )
-        return _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot)
+        if isinstance(alg, Lanczos):
+            return _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot)
+        return _bwd_sylvester_general(
+            howmany, which, alg, alg_rrule, space, res, cot
+        )
     return _bwd_gmres(howmany, which, alg, alg_rrule, space, res, cot)
 
 
@@ -255,6 +254,129 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
         ws = jax.tree_util.tree_map(lambda l: jnp.real(l).astype(cdt), ws)
 
     # operator cotangent: Ā_J = conj(Σ wᵢ vᵢᴴ)
+    opbar = None
+    for i in range(n):
+        v = _row(vecs, i)
+        _, op_vjp = jax.vjp(lambda o: o.normal(v), op)
+        (ob,) = op_vjp(_conj(_row(ws, i)))
+        opbar = ob if opbar is None else jax.tree_util.tree_map(jnp.add, opbar, ob)
+    x0bar = zerovector(x0)
+    return opbar, x0bar
+
+
+def _bwd_sylvester_general(howmany, which, alg, alg_rrule, space, res, cot):
+    """Sylvester-as-eigenproblem pullback for general (Arnoldi) primals
+    (reference ``ext/.../eigsolve.jl:182-310``): like :func:`_bwd_sylvester`
+    but the primal Ritz vectors are not orthonormal — projections go through
+    the Cholesky-factored Gram matrix ``G = VᴴV`` — and the subspace
+    coefficients use the raw (non-antihermitian) gauge-projected ``VᴴΔV``."""
+    from .. import dense
+    from ..algorithms import EigSorter
+    from ..ops import basis as bs
+    from ..ops.operator import LinearOperator as _LO
+    from ..solvers.arnoldi import eigsolve_arnoldi
+
+    op, x0, vals, vecs = res
+    lbar_J, vbar_J = cot[0], cot[1]
+    n = howmany
+    cdt = jax.tree_util.tree_leaves(vecs)[0].dtype
+    rdt = jnp.finfo(cdt).dtype
+    tol = jnp.asarray(alg.tol, rdt)
+
+    dvals = jnp.conj(lbar_J[:n]).astype(cdt)
+    dvecs = _conj(jax.tree_util.tree_map(lambda l: l[:n], vbar_J))
+
+    G = bs.gram(vecs, vecs)[:n, :n].astype(cdt)
+    VdDV = bs.gram(vecs, dvecs)[:n, :n].astype(cdt)
+    # remove the gauge (diagonal) components: VdΔV' = VdΔV − G·Diag(diag/diagG)
+    dratio = jnp.diagonal(VdDV) / jnp.diagonal(G)
+    VdDVp = VdDV - G * dratio[None, :]
+    gaps = jnp.conj(vals[None, :n].astype(cdt) - vals[:n, None].astype(cdt))
+    a = VdDVp * jnp.where(jnp.abs(gaps) < tol, 0, 1 / jnp.where(gaps == 0, 1, gaps))
+    a = a + jnp.diag(dvals)
+    iGa = jnp.linalg.solve(G, a)
+    iGV = jnp.linalg.solve(G, VdDV)
+
+    cap = jax.tree_util.tree_leaves(vecs)[0].shape[0]
+
+    def mix(coeffs):
+        pad = jnp.zeros((cap, n), cdt).at[:n, :].set(coeffs)
+        return jax.tree_util.tree_map(
+            lambda lv: jnp.tensordot(pad.T.astype(lv.dtype), lv, axes=[[1], [0]]),
+            vecs,
+        )
+
+    Z0 = mix(iGa)  # z_i stacked
+
+    # sylvesterarg_i = fᴴ(z_i) + Δv_i − Σ_j iGV[j,i] v_j
+    fz = jax.vmap(op.apply_adjoint)(Z0)
+    sub = mix(iGV)
+    Dperp = jax.tree_util.tree_map(
+        lambda la, ld, lsub: la + ld - lsub, fz, dvecs, sub
+    )
+
+    key_last = dense.which_key(vals[n - 1 : n].astype(cdt), which)[0]
+    key_zero = dense.which_key(jnp.zeros((1,), cdt), which)[0]
+    shift = jnp.where(key_last < key_zero, 2 * jnp.conj(vals[n - 1]).astype(cdt), 0)
+
+    def proj(w):
+        c = bs.project(vecs, w, n, space)[:n]
+        c = jnp.linalg.solve(G, c.astype(cdt))
+        cpad = jnp.zeros((cap,), cdt).at[:n].set(c)
+        return bs.unproject(vecs, cpad)
+
+    valsc = vals[:n].astype(cdt)
+
+    def block_op(wx):
+        w, x = wx
+        w0 = proj(w)
+        wperp = jax.tree_util.tree_map(lambda a_, b_: a_ - b_, w, w0)
+        wp = op.apply_adjoint(wperp)
+        wp = jax.tree_util.tree_map(
+            lambda l, l0: l + shift.astype(l.dtype) * l0, wp, w0
+        )
+        wp = jax.tree_util.tree_map(
+            lambda l, ld: l
+            - jnp.tensordot(x.astype(ld.dtype), ld, axes=[[0], [0]]),
+            wp,
+            Dperp,
+        )
+        return wp, jnp.conj(valsc) * x
+
+    sorter = EigSorter(
+        by=lambda v: jnp.min(
+            jnp.abs(v[..., None] - jnp.conj(valsc)[None, :]), axis=-1
+        ),
+        rev=False,
+    )
+    w0 = (
+        jax.tree_util.tree_map(lambda l: jnp.zeros_like(l[0]), vecs),
+        jnp.ones((n,), cdt),
+    )
+    rvals, Ws, rinfo = eigsolve_arnoldi(
+        _LO(block_op, None), w0, n, sorter, alg_rrule, space
+    )
+    Wvec, Wx = Ws
+    Zmat = Wx.T[:n, :n]
+    Zinv = jnp.linalg.pinv(Zmat, rtol=1e-10)
+    # complement projection of the returned w components (G-aware)
+    ovl = bs.gram(vecs, Wvec)[:n, :].astype(cdt)  # ⟨v_i, w_j⟩
+    covl = jnp.linalg.solve(G, ovl)  # (n, n)
+    Wq = jax.tree_util.tree_map(
+        lambda lw, lv: lw
+        - jnp.tensordot(covl.T.astype(lv.dtype), lv, axes=[[1], [0]]),
+        Wvec,
+        vecs,
+    )
+    ws = jax.tree_util.tree_map(
+        lambda lz, lq: lz
+        - jnp.tensordot(Zinv.T.astype(lq.dtype), lq[:n], axes=[[1], [0]]),
+        Z0,
+        Wq,
+    )
+    if not jnp.issubdtype(cdt, jnp.complexfloating):
+        ws = jax.tree_util.tree_map(lambda l: jnp.real(l).astype(cdt), ws)
+
     opbar = None
     for i in range(n):
         v = _row(vecs, i)

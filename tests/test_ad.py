@@ -230,3 +230,29 @@ def test_ad_eigsolve_sylvester_vectors():
     g = np.asarray(jax.grad(loss)(jnp.asarray(A)))
     gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(A)))
     assert np.allclose(g + g.T, gd + gd.T, atol=1e-7)
+
+
+def test_ad_eigsolve_sylvester_general():
+    """General (non-Hermitian) Arnoldi-path pullback (reference
+    ext/.../eigsolve.jl:182-310) vs finite differences."""
+    rng = np.random.default_rng(80)
+    m = 20
+    A = rand_mat(rng, m, m, np.float64) + np.diag(np.linspace(1, 2, m))
+    x0 = jnp.asarray(rand_vec(rng, m, np.float64))
+    rr = kk.Arnoldi(tol=1e-12, krylovdim=m, maxiter=100)
+
+    def loss(A):
+        vals, vecs, info = kk.eigsolve(
+            A, x0, 1, "LR", tol=1e-12, krylovdim=m, alg_rrule=rr
+        )
+        return jnp.real(vals[0])
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(A)))
+    eps = 1e-6
+    rng2 = np.random.default_rng(1)
+    for _ in range(5):
+        i, j = rng2.integers(0, m, 2)
+        Ap = A.copy(); Ap[i, j] += eps
+        Am = A.copy(); Am[i, j] -= eps
+        fd = (float(loss(jnp.asarray(Ap))) - float(loss(jnp.asarray(Am)))) / (2 * eps)
+        assert abs(g[i, j] - fd) < 1e-5, (i, j, g[i, j], fd)
