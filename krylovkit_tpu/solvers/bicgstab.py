@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..algorithms import BiCGStab
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops.operator import LinearOperator, apply_shifted, probe_dtype
 from ..ops.vector import STANDARD, VectorSpace, add, zerovector
 
@@ -150,6 +150,22 @@ def linsolve_bicgstab(
         )
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), body, st0)
+    conv = (st.normr <= tol).astype(jnp.int32)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "BiCGStab linsolve finished after {it} iterations: converged = {c}, "
+        "normres = {nr}", it=st.numiter, c=conv, nr=st.normr,
+    )
+    warn_if(
+        alg.verbosity, st.breakdown,
+        "BiCGStab linsolve breakdown (rho or sigma ~ 0) after {it} iterations",
+        it=st.numiter,
+    )
+    warn_if(
+        alg.verbosity, (conv == 0) & jnp.logical_not(st.breakdown),
+        "BiCGStab linsolve stopped without converging after {it} iterations: "
+        "normres = {nr}", it=st.numiter, nr=st.normr,
+    )
     info = ConvergenceInfo(
         converged=(st.normr <= tol).astype(jnp.int32),
         residual=st.r,

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..algorithms import CG
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops.operator import LinearOperator, apply_shifted
 from ..ops.vector import STANDARD, VectorSpace, add, zerovector
 
@@ -101,6 +101,18 @@ def linsolve_cg(
         return _State(x, r, p, rho, normr, numiter, numops, done)
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), body, st0)
+    conv = (st.normr <= tol).astype(jnp.int32)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "CG linsolve finished after {it} iterations: converged = {c}, "
+        "normres = {nr}, numops = {no}",
+        it=st.numiter, c=conv, nr=st.normr, no=st.numops,
+    )
+    warn_if(
+        alg.verbosity, conv == 0,
+        "CG linsolve stopped without converging after {it} iterations: "
+        "normres = {nr}", it=st.numiter, nr=st.normr,
+    )
     info = ConvergenceInfo(
         converged=(st.normr <= tol).astype(jnp.int32),
         residual=st.r,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..algorithms import LSMR, KrylovDefaults
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops import orthonormal as on
 from ..ops.operator import as_operator
@@ -200,6 +200,18 @@ def lssolve_lsmr(
         )
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), body, st0)
+    conv = (st.normres <= tol).astype(jnp.int32)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "LSMR lssolve finished at iteration {it}: converged = {c}, "
+        "|| A^H(b - A x) - lam^2 x || = {nr}",
+        it=st.numiter, c=conv, nr=st.normres,
+    )
+    warn_if(
+        alg.verbosity, conv == 0,
+        "LSMR lssolve finished without converging after {it} iterations: "
+        "normres = {nr}", it=st.numiter, nr=st.normres,
+    )
     info = ConvergenceInfo(
         converged=(st.normres <= tol).astype(jnp.int32),
         residual=st.r,

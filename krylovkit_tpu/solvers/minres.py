@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..algorithms import MINRES
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops.operator import LinearOperator, apply_shifted, probe_dtype
 from ..ops.vector import STANDARD, VectorSpace, add, scale, zerovector
 
@@ -140,6 +140,17 @@ def linsolve_minres(
         )
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), body, st0)
+    conv_ = (st.normr <= tol).astype(jnp.int32)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "MINRES linsolve finished after {it} iterations: converged = {c}, "
+        "normres = {nr}", it=st.numiter, c=conv_, nr=st.normr,
+    )
+    warn_if(
+        alg.verbosity, conv_ == 0,
+        "MINRES linsolve stopped without converging after {it} iterations: "
+        "normres = {nr}", it=st.numiter, nr=st.normr,
+    )
     r_final = add(b, shifted(st.x), a=-1)
     info = ConvergenceInfo(
         converged=(st.normr <= tol).astype(jnp.int32),

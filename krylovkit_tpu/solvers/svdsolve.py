@@ -27,7 +27,7 @@ import numpy as np
 from .. import dense
 from ..algorithms import GKL, KrylovDefaults
 from ..factorizations import gkl as gf
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, EACHITERATION, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops.operator import as_operator, probe_dtype
 from ..ops.vector import REAL, STANDARD, VectorSpace
@@ -175,6 +175,18 @@ def svdsolve_gkl(
         return _LoopState(fact, numiter, numops, nconv, svals, P, Q, res, done)
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
+    nconv_out = jnp.minimum(st.nconv, howmany)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "GKL svdsolve finished after {it} iterations: {nc} values converged, "
+        "normres = {nr}", it=st.numiter, nc=nconv_out, nr=st.resnorms[:howmany],
+    )
+    warn_if(
+        alg.verbosity, nconv_out < howmany,
+        "GKL svdsolve finished without convergence: {nc} of "
+        f"{howmany}" + " values converged after {it} iterations",
+        nc=nconv_out, it=st.numiter,
+    )
 
     fact = st.fact
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
