@@ -57,6 +57,20 @@ def _fwd(howmany, which, alg, alg_rrule, space, op, x0):
 
 
 def _bwd(howmany, which, alg, alg_rrule, space, res, cot):
+    from ..algorithms import Arnoldi
+
+    if isinstance(alg_rrule, Arnoldi):
+        w = which.upper() if isinstance(which, str) else which
+        if w != "LR":
+            raise NotImplementedError(
+                "Arnoldi-path svdsolve pullback only for which='LR' "
+                "(reference ext/.../svdsolve.jl:166)"
+            )
+        return _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot)
+    return _bwd_gmres(howmany, which, alg, alg_rrule, space, res, cot)
+
+
+def _bwd_gmres(howmany, which, alg, alg_rrule, space, res, cot):
     from ..solvers.linsolve import _linsolve_impl
 
     op, x0, vals, lvecs, rvecs = res
@@ -124,3 +138,123 @@ def _bwd(howmany, which, alg, alg_rrule, space, res, cot):
 
 
 svdsolve_vjp.defvjp(_fwd, _bwd)
+
+
+def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
+    """Coupled (x, y, z) eigenproblem pullback (reference
+    ``ext/.../svdsolve.jl:160-273``, which == :LR): all triplet cotangents are
+    resolved through one eigsolve of the block operator
+
+        (x, y, z) ↦ (QU(A y) − ΣᵢΔUᵢzᵢ, QV(Aᴴx) − ΣᵢΔVᵢzᵢ, Σ·z)
+
+    on triple tuple pytrees — robust for (near-)degenerate singular values."""
+    from ..algorithms import EigSorter
+    from ..ops import basis as bs
+    from ..ops.operator import LinearOperator as _LO
+    from ..solvers.arnoldi import eigsolve_arnoldi
+
+    op, x0, vals, lvecs, rvecs = res
+    sbar_J, ubar_J, vbar_J = cot[0], cot[1], cot[2]
+    n = howmany
+    cdt = jax.tree_util.tree_leaves(lvecs)[0].dtype
+    rdt = jnp.finfo(cdt).dtype
+    tol = jnp.asarray(alg.tol, rdt)
+    sig = vals[:n].astype(rdt)
+
+    dsig = jnp.conj(sbar_J[:n])
+    dlv = _conj(jax.tree_util.tree_map(lambda l: l[:n], ubar_J))
+    drv = _conj(jax.tree_util.tree_map(lambda l: l[:n], vbar_J))
+
+    UdDU = bs.gram(lvecs, dlv)[:n, :n].astype(cdt)
+    VdDV = bs.gram(rvecs, drv)[:n, :n].astype(cdt)
+    aU = (UdDU - UdDU.conj().T) / 2
+    aV = (VdDV - VdDV.conj().T) / 2
+
+    def safe_inv(m):
+        return jnp.where(jnp.abs(m) < tol, 0, 1 / jnp.where(m == 0, 1, m))
+
+    gm = sig[None, :] - sig[:, None]
+    gp = sig[None, :] + sig[:, None]
+    UdDAV = (aU + aV) * safe_inv(gm).astype(cdt) + (aU - aV) * safe_inv(gp).astype(
+        cdt
+    )
+    UdDAV = UdDAV + jnp.diag(jnp.real(dsig).astype(cdt))
+
+    cap_u = jax.tree_util.tree_leaves(lvecs)[0].shape[0]
+
+    def mix(basis_, coeffs):
+        cap = jax.tree_util.tree_leaves(basis_)[0].shape[0]
+        pad = jnp.zeros((cap, n), cdt).at[:n, :].set(coeffs)
+        return jax.tree_util.tree_map(
+            lambda lv: jnp.tensordot(pad.T.astype(lv.dtype), lv, axes=[[1], [0]]),
+            basis_,
+        )
+
+    xs0 = mix(lvecs, UdDAV / 2)
+    ys0 = mix(rvecs, UdDAV.conj().T / 2)
+
+    DU = jax.tree_util.tree_map(
+        lambda ld, lsub: ld - lsub, dlv, mix(lvecs, UdDU)
+    )
+    DV = jax.tree_util.tree_map(
+        lambda ld, lsub: ld - lsub, drv, mix(rvecs, VdDV)
+    )
+
+    def qproj(basis_, w):
+        c = bs.project(basis_, w, n, space)
+        return jax.tree_util.tree_map(
+            lambda lw, lp: lw - lp, w, bs.unproject(basis_, c)
+        )
+
+    def block_op(xyz):
+        x, y, z = xyz
+        xp = qproj(lvecs, op.normal(y))
+        yp = qproj(rvecs, op.apply_adjoint(x))
+        xp = jax.tree_util.tree_map(
+            lambda l, ld: l - jnp.tensordot(z.astype(ld.dtype), ld, axes=[[0], [0]]),
+            xp, DU,
+        )
+        yp = jax.tree_util.tree_map(
+            lambda l, ld: l - jnp.tensordot(z.astype(ld.dtype), ld, axes=[[0], [0]]),
+            yp, DV,
+        )
+        return xp, yp, sig.astype(cdt) * z
+
+    w0 = (
+        jax.tree_util.tree_map(lambda l: jnp.zeros_like(l[0]), lvecs),
+        jax.tree_util.tree_map(lambda l: jnp.zeros_like(l[0]), rvecs),
+        jnp.ones((n,), cdt),
+    )
+    rvals, Ws, rinfo = eigsolve_arnoldi(
+        _LO(block_op, None), w0, n, "LR", alg_rrule, space
+    )
+    Wx, Wy, Wz = Ws
+    Zmat = Wz.T[:n, :n]
+    Zinv = jnp.linalg.pinv(Zmat, rtol=1e-10)
+
+    xs = jax.tree_util.tree_map(
+        lambda l0, lw: l0
+        - jnp.tensordot(Zinv.T.astype(lw.dtype), lw[:n], axes=[[1], [0]]),
+        xs0, Wx,
+    )
+    ys = jax.tree_util.tree_map(
+        lambda l0, lw: l0
+        - jnp.tensordot(Zinv.T.astype(lw.dtype), lw[:n], axes=[[1], [0]]),
+        ys0, Wy,
+    )
+    if not jnp.issubdtype(cdt, jnp.complexfloating):
+        xs = jax.tree_util.tree_map(lambda l: jnp.real(l).astype(cdt), xs)
+        ys = jax.tree_util.tree_map(lambda l: jnp.real(l).astype(cdt), ys)
+
+    opbar = None
+    for i in range(n):
+        v = _row(rvecs, i)
+        u = _row(lvecs, i)
+        _, vjp_n = jax.vjp(lambda o: o.normal(v), op)
+        (ob1,) = vjp_n(_conj(_row(xs, i)))
+        _, vjp_a = jax.vjp(lambda o: o.apply_adjoint(u), op)
+        (ob2,) = vjp_a(_conj(_row(ys, i)))
+        ob = jax.tree_util.tree_map(jnp.add, ob1, ob2)
+        opbar = ob if opbar is None else jax.tree_util.tree_map(jnp.add, opbar, ob)
+    x0bar = zerovector(x0)
+    return opbar, x0bar

@@ -256,3 +256,31 @@ def test_ad_eigsolve_sylvester_general():
         Am = A.copy(); Am[i, j] -= eps
         fd = (float(loss(jnp.asarray(Ap))) - float(loss(jnp.asarray(Am)))) / (2 * eps)
         assert abs(g[i, j] - fd) < 1e-5, (i, j, g[i, j], fd)
+
+
+def test_ad_svdsolve_sylvester_path():
+    """Arnoldi-path svdsolve pullback (reference ext/.../svdsolve.jl:160-273,
+    which='LR'): coupled (x,y,z) block eigenproblem vs the svd oracle."""
+    rng = np.random.default_rng(81)
+    A = rand_mat(rng, 30, 18, np.float64)
+    x0 = jnp.asarray(A @ rand_vec(rng, 18, np.float64))
+    rr = kk.Arnoldi(tol=1e-12, krylovdim=40, maxiter=200)
+    c = jnp.asarray(rand_vec(rng, 30, np.float64))
+    d = jnp.asarray(rand_vec(rng, 18, np.float64))
+
+    def loss(A):
+        vals, lv, rv, info = kk.svdsolve(
+            A, x0, 2, "LR", tol=1e-12, krylovdim=18, maxiter=200, alg_rrule=rr
+        )
+        u = jax.tree_util.tree_map(lambda l: l[0], lv)
+        v = jax.tree_util.tree_map(lambda l: l[0], rv)
+        return jnp.sum(vals) + jnp.vdot(c, u) * jnp.vdot(v, d)
+
+    def loss_dense(A):
+        U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
+        return s[0] + s[1] + jnp.vdot(c, U[:, 0]) * jnp.vdot(Vh[0, :].conj(), d)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(A)))
+    gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(A)))
+    ok = np.allclose(g, gd, atol=1e-6) or np.allclose(g, -gd, atol=1e-6)
+    assert ok
