@@ -108,3 +108,47 @@ def test_selective_reorthogonalization():
     assert np.allclose(np.asarray(vals), want, atol=1e-8)
     V = np.asarray(vecs)
     assert np.max(np.abs(V @ V.conj().T - np.eye(4))) < 1e-7
+
+
+def test_vmap_batched_eigsolve():
+    """Batched solves via jax.vmap over the driver — the data-parallel axis
+    (dryrun_multichip shards this over the mesh's batch axis)."""
+    import jax
+    from krylovkit_tpu.solvers.lanczos import eigsolve_lanczos
+    from krylovkit_tpu.ops.operator import MatrixOperator
+
+    rng = np.random.default_rng(117)
+    As = np.stack([hermitize(rand_mat(rng, 20, 20, np.float64)) for _ in range(3)])
+    x0 = jnp.asarray(rand_vec(rng, 20, np.float64))
+    alg = kk.Lanczos(krylovdim=20, tol=1e-10, maxiter=10)
+
+    def solve_one(A):
+        vals, vecs, info = eigsolve_lanczos(MatrixOperator(A), x0, 2, "LR", alg)
+        return vals
+
+    vals = jax.jit(jax.vmap(solve_one))(jnp.asarray(As))
+    for b in range(3):
+        want = np.linalg.eigvalsh(As[b])[::-1][:2]
+        assert np.allclose(np.asarray(vals)[b], want, atol=1e-8), b
+
+
+def test_vmap_batched_gmres():
+    import jax
+    from krylovkit_tpu.solvers.gmres import linsolve_gmres
+    from krylovkit_tpu.ops.operator import MatrixOperator
+
+    rng = np.random.default_rng(118)
+    A = rand_mat(rng, 20, 20, np.float64) + 2 * np.eye(20)
+    Bs = np.stack([rand_vec(rng, 20, np.float64) for _ in range(4)])
+    alg = kk.GMRES(krylovdim=20, tol=1e-10, maxiter=10)
+
+    def solve_one(b):
+        x, info = linsolve_gmres(
+            MatrixOperator(jnp.asarray(A)), b, jnp.zeros_like(b),
+            jnp.float64(0), jnp.float64(1), alg,
+        )
+        return x
+
+    X = jax.jit(jax.vmap(solve_one))(jnp.asarray(Bs))
+    want = np.linalg.solve(A, Bs.T).T
+    assert np.allclose(np.asarray(X), want, atol=1e-8)
