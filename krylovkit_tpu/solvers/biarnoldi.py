@@ -33,7 +33,7 @@ from .. import dense
 from ..algorithms import BiArnoldi, KrylovDefaults
 from ..dense.masking import embed_active
 from ..factorizations import krylov as kf
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops.operator import as_operator, probe_dtype
 from ..ops.vector import STANDARD, VectorSpace, add, scale
@@ -242,6 +242,17 @@ def bieigsolve_driver(
         )
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "BiArnoldi bieigsolve finished after {it} iterations: {nc} values "
+        "converged", it=st.numiter, nc=jnp.minimum(st.nconv, howmany),
+    )
+    warn_if(
+        alg.verbosity, st.nconv < howmany,
+        "BiArnoldi bieigsolve stopped without convergence: {nc} of "
+        f"{howmany}" + " values converged after {it} iterations",
+        nc=st.nconv, it=st.numiter,
+    )
 
     # --- extraction (reference bieigsolve body, :151-200) ---
     hm = howmany

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .. import dense
 from ..algorithms import BlockLanczos
 from ..factorizations import blocklanczos as bf
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops.operator import LinearOperator, probe_dtype
 from ..ops.vector import VectorSpace, STANDARD
@@ -161,6 +161,19 @@ def eigsolve_blocklanczos(
         return _LoopState(fact, numiter, numops, nconv, w, U, res, done)
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
+    nconv_out = jnp.minimum(st.nconv, howmany)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "BlockLanczos eigsolve finished after {it} iterations: {nc} values "
+        "converged, normres = {nr}",
+        it=st.numiter, nc=nconv_out, nr=st.resnorms[:howmany],
+    )
+    warn_if(
+        alg.verbosity, nconv_out < howmany,
+        "BlockLanczos eigsolve stopped without convergence: {nc} of "
+        f"{howmany}" + " values converged after {it} iterations",
+        nc=nconv_out, it=st.numiter,
+    )
 
     fact = st.fact
     rows = jax.lax.broadcasted_iota(jnp.int32, (mcapb, mcapb), 0)

@@ -37,7 +37,7 @@ import numpy as np
 
 from ..algorithms import Arnoldi, KrylovDefaults, Lanczos
 from ..factorizations import krylov as kf
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops.operator import LinearOperator, as_operator, probe_dtype
 from ..ops.vector import STANDARD, VectorSpace, add, scale, zerovector
@@ -385,6 +385,17 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
         return st
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "expintegrate finished after {it} iterations: total error = {err}, "
+        "numops = {no}", it=st.numiter, err=st.totalerr, no=st.numops,
+    )
+    warn_if(
+        alg.verbosity,
+        jnp.logical_not(st.fixedpt) & (st.totalerr > maxerr),
+        "expintegrate did not reach sufficiently small error after {it} "
+        "iterations: total error = {err}", it=st.numiter, err=st.totalerr,
+    )
 
     converged = jnp.where(
         st.fixedpt | (st.totalerr <= maxerr), jnp.int32(1), jnp.int32(0)

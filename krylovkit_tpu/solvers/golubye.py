@@ -30,7 +30,7 @@ import numpy as np
 
 from .. import dense
 from ..algorithms import GolubYe, KrylovDefaults
-from ..info import ConvergenceInfo
+from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops import orthonormal as on
 from ..ops.operator import LinearOperator, as_generalized_pair
@@ -254,6 +254,19 @@ def geneigsolve_golubye(
         )
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
+    nconv_out = jnp.minimum(st.nconv, howmany)
+    log_if(
+        alg.verbosity, STARTSTOP,
+        "GolubYe geneigsolve finished after {it} iterations: {nc} values "
+        "converged, normres = {nr}",
+        it=st.numiter - 1, nc=nconv_out, nr=st.rnorms[:howmany],
+    )
+    warn_if(
+        alg.verbosity, nconv_out < howmany,
+        "GolubYe geneigsolve stopped without convergence: {nc} of "
+        f"{howmany}" + " values converged",
+        nc=nconv_out,
+    )
     vals = st.vals[:howmany]
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], st.rvecs)
     residuals = jax.tree_util.tree_map(lambda l: l[:howmany], st.rress)
