@@ -26,7 +26,7 @@ def main():
 
     n = 1 << 21  # 2M unknowns, f32
     maxiter = 10
-    op = laplacian_1d(n, jnp.float32)
+    op = laplacian_1d(n, jnp.float32)  # row-major chain on (n/128, 128) vectors
     alg = kk.Lanczos(krylovdim=30, maxiter=maxiter, tol=1e-30)  # force full run
 
     @jax.jit
@@ -34,7 +34,8 @@ def main():
         vals, vecs, info = eigsolve_lanczos(op, x0, 4, "LM", alg)
         return vals, info.numops, info.normres
 
-    x0 = jnp.ones((n,), jnp.float32)
+    # (rows, 128) vector layout: tile-aligned basis rows (ops/basis.py note)
+    x0 = jnp.ones((n // 128, 128), jnp.float32)
     # warm-up / compile
     vals, numops, normres = solve(x0)
     jax.block_until_ready(vals)

@@ -24,15 +24,35 @@ __all__ = ["laplacian_1d", "poisson_2d", "sharded_laplacian_1d"]
 
 def laplacian_1d(n: int, dtype=jnp.float32, dirichlet: bool = True) -> LinearOperator:
     """Operator for the tridiagonal ``tridiag(-1, 2, -1)`` Laplacian
-    (BASELINE.json config 1).  Hermitian positive definite for Dirichlet."""
+    (BASELINE.json config 1).  Hermitian positive definite for Dirichlet.
+
+    Layout-polymorphic: a multi-dimensional vector is treated as the row-major
+    flattening of the chain (neighbour couplings carry across the last-axis
+    boundary).  On TPU, pass vectors shaped ``(n/128, 128)`` — tile-aligned
+    basis rows make the whole Krylov loop ~2x faster (see ``ops/basis.py``
+    layout note)."""
 
     def apply(x):
         idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
         xm = jnp.roll(x, 1, axis=-1)
         xp = jnp.roll(x, -1, axis=-1)
+        if x.ndim == 1:
+            if dirichlet:
+                xm = jnp.where(idx == 0, 0, xm)
+                xp = jnp.where(idx == n - 1, 0, xp)
+            return 2 * x - xm - xp
+        # row-major chain across a (..., rows, C) layout: element (r, 0)'s left
+        # neighbour is (r-1, C-1); element (r, C-1)'s right neighbour is (r+1, 0)
+        C = x.shape[-1]
+        R = x.shape[-2]
+        prev_last = jnp.roll(x[..., :, C - 1], 1, axis=-1)[..., :, None]
+        next_first = jnp.roll(x[..., :, 0], -1, axis=-1)[..., :, None]
+        xm = jnp.where(idx == 0, prev_last, xm)
+        xp = jnp.where(idx == C - 1, next_first, xp)
         if dirichlet:
-            xm = jnp.where(idx == 0, 0, xm)
-            xp = jnp.where(idx == n - 1, 0, xp)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+            xm = jnp.where((ridx == 0) & (idx == 0), 0, xm)
+            xp = jnp.where((ridx == R - 1) & (idx == C - 1), 0, xp)
         return 2 * x - xm - xp
 
     return LinearOperator(apply, apply)  # symmetric

@@ -270,3 +270,25 @@ def test_jit_cache_reuse():
     assert _eigsolve_core._cache_size() == misses0
     w = np.linalg.eigvalsh(A2)
     assert eig_close(np.asarray(vals), sortsel(w, "LM", 2), 1e-6)
+
+
+def test_tile_aligned_2d_layout():
+    """(rows, 128)-shaped vectors — the TPU-fast basis layout (ops/basis.py
+    layout note) — must give identical results to flat 1D vectors."""
+    from krylovkit_tpu.parallel import laplacian_1d
+
+    nn = 512
+    op = laplacian_1d(nn, jnp.float64)
+    alg = Lanczos(krylovdim=30, maxiter=100, tol=5e-8)
+    x1 = jnp.asarray(np.random.default_rng(0).normal(size=nn))
+    x2 = x1.reshape(nn // 128, 128)
+    v1, V1, i1 = kk.eigsolve(op, x1, 4, "LM", alg=alg, ishermitian=True)
+    v2, V2, i2 = kk.eigsolve(op, x2, 4, "LM", alg=alg, ishermitian=True)
+    assert int(i1.converged) >= 4 and int(i2.converged) >= 4
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-9)
+    # oracle: 1D Dirichlet Laplacian eigenvalues 2 - 2 cos(k pi / (n+1))
+    ks = np.arange(1, nn + 1)
+    exact = np.sort(2 - 2 * np.cos(ks * np.pi / (nn + 1)))[::-1][:4]
+    np.testing.assert_allclose(np.asarray(v1), exact, rtol=1e-8)
+    # eigenvectors live in the vector's shape
+    assert jax.tree_util.tree_leaves(V2)[0].shape == (4, nn // 128, 128)
