@@ -27,7 +27,9 @@ def main():
     n = 1 << 21  # 2M unknowns, f32
     maxiter = 10
     op = laplacian_1d(n, jnp.float32)  # row-major chain on (n/128, 128) vectors
-    alg = kk.Lanczos(krylovdim=30, maxiter=maxiter, tol=1e-30)  # force full run
+    # cgs: one fused full-basis projection per step (contains the 3-term
+    # coefficients) — the fastest full-reorthogonalization mode on TPU
+    alg = kk.Lanczos(krylovdim=30, maxiter=maxiter, tol=1e-30, orth=kk.cgs)
 
     @jax.jit
     def solve(x0):
@@ -48,6 +50,10 @@ def main():
     t1 = time.perf_counter()
 
     dt = (t1 - t0) / reps
+    # correctness guard: top Laplacian eigenvalues are 4 - O((pi/n)^2) ~= 4.0 in f32
+    import numpy as np
+
+    assert np.allclose(np.asarray(vals), 4.0, atol=2e-2), np.asarray(vals)
     nnz = 3 * n
     ops = int(numops)
     value = ops * nnz / dt

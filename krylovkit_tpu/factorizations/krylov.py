@@ -118,6 +118,29 @@ def expand_hermitian(
     V, H, k, beta_prev = state
     vk = bs.get(V, k)
     w = op_apply(vk)
+    if isinstance(orth, on.ClassicalGramSchmidt):
+        # pure-CGS fast path: the full-basis projection already contains the
+        # α (at k) and β (at k-1) components, so the explicit 3-term
+        # subtraction is redundant — one fewer pass over w per step (the
+        # reference's cgs ``lanczosrecurrence``, src/factorizations/lanczos.jl:
+        # 295-307, same single-sweep structure)
+        v_new, beta, c = on.orthonormalize(w, V, k + 1, on.cgs, space)
+        alpha = c[jnp.asarray(k, jnp.int32)]
+        V = bs.set(V, k + 1, v_new)
+        col = alpha.astype(H.dtype) * jax.nn.one_hot(
+            k, H.shape[0], dtype=H.dtype
+        ) + beta.astype(H.dtype) * jax.nn.one_hot(k + 1, H.shape[0], dtype=H.dtype)
+        colold = jax.lax.dynamic_slice(
+            H, (jnp.int32(0), jnp.asarray(k, jnp.int32)), (H.shape[0], 1)
+        )[:, 0]
+        mask = jax.nn.one_hot(k, H.shape[0], dtype=H.dtype) + jax.nn.one_hot(
+            k + 1, H.shape[0], dtype=H.dtype
+        )
+        col = colold * (1 - mask) + col
+        H = jax.lax.dynamic_update_slice(
+            H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
+        )
+        return KrylovState(V, H, k + 1, beta)
     km1 = jnp.maximum(k - 1, 0)
     vkm1 = bs.get(V, km1)
     bcoef = jnp.where(k > 0, beta_prev, 0)
