@@ -27,33 +27,34 @@ def hessenberg_reduce(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
     Returns ``(H, Q)``.  Operates on the whole buffer; callers embed the active
     block first (inactive = diagonal, which reduction leaves untouched).
     """
-    m = A.shape[0]
-    cdt = A.dtype
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    with jax.default_matmul_precision("highest"):
+        m = A.shape[0]
+        cdt = A.dtype
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
 
-    def body(j, carry):
-        A, Q = carry
-        col = jax.lax.dynamic_index_in_dim(A, j, axis=1, keepdims=False)
-        x = jnp.where(ridx > j, col, 0)
-        nx = jnp.linalg.norm(x)
-        pivot = jax.lax.dynamic_index_in_dim(x, j + 1, 0, keepdims=False)
-        apiv = jnp.abs(pivot)
-        phase = jnp.where(apiv > 0, pivot / jnp.where(apiv > 0, apiv, 1), 1)
-        alpha = -phase * nx
-        v = x - alpha * (ridx == j + 1).astype(cdt)
-        nv = jnp.linalg.norm(v)
-        ok = nv > 0
-        v = jnp.where(ok, v / jnp.where(ok, nv, 1), 0)
-        # A <- P A P, Q <- Q P with P = I - 2 v vH (rank-1 GEMV updates)
-        A = A - 2 * jnp.outer(v, v.conj() @ A)
-        A = A - 2 * jnp.outer(A @ v, v.conj())
-        Q = Q - 2 * jnp.outer(Q @ v, v.conj())
-        return A, Q
+        def body(j, carry):
+            A, Q = carry
+            col = jax.lax.dynamic_index_in_dim(A, j, axis=1, keepdims=False)
+            x = jnp.where(ridx > j, col, 0)
+            nx = jnp.linalg.norm(x)
+            pivot = jax.lax.dynamic_index_in_dim(x, j + 1, 0, keepdims=False)
+            apiv = jnp.abs(pivot)
+            phase = jnp.where(apiv > 0, pivot / jnp.where(apiv > 0, apiv, 1), 1)
+            alpha = -phase * nx
+            v = x - alpha * (ridx == j + 1).astype(cdt)
+            nv = jnp.linalg.norm(v)
+            ok = nv > 0
+            v = jnp.where(ok, v / jnp.where(ok, nv, 1), 0)
+            # A <- P A P, Q <- Q P with P = I - 2 v vH (rank-1 GEMV updates)
+            A = A - 2 * jnp.outer(v, v.conj() @ A)
+            A = A - 2 * jnp.outer(A @ v, v.conj())
+            Q = Q - 2 * jnp.outer(Q @ v, v.conj())
+            return A, Q
 
-    Q0 = jnp.eye(m, dtype=cdt)
-    H, Q = jax.lax.fori_loop(0, max(m - 2, 0), body, (A, Q0))
-    # clean numerical fill-in below the sub-diagonal
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    H = jnp.where(rows > cols + 1, 0, H)
-    return H, Q
+        Q0 = jnp.eye(m, dtype=cdt)
+        H, Q = jax.lax.fori_loop(0, max(m - 2, 0), body, (A, Q0))
+        # clean numerical fill-in below the sub-diagonal
+        rows = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        H = jnp.where(rows > cols + 1, 0, H)
+        return H, Q

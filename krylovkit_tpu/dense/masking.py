@@ -28,6 +28,7 @@ __all__ = [
     "spectrum_sentinel",
     "active_support",
     "which_key",
+    "which_key_ri",
     "sort_perm",
 ]
 
@@ -90,6 +91,30 @@ def which_key(vals: jax.Array, which) -> jax.Array:
     if w not in table:
         raise ValueError(f"unknown which={which!r}; expected one of {list(table)} or EigSorter")
     return table[w](vals)
+
+
+def which_key_ri(re: jax.Array, im: jax.Array, which) -> jax.Array:
+    """`which_key` on eigenvalues given as (re, im) real pairs — no complex
+    arrays materialized (usable on complex-less TPU runtimes).  ``EigSorter``
+    callbacks receive a complex value and are therefore only supported on
+    backends with complex dtypes."""
+    if isinstance(which, EigSorter):
+        key = jnp.real(which.by(re + 1j * im))
+        return -key if which.rev else key
+    table = {
+        "LM": lambda r, i: -jnp.hypot(r, i),
+        "SM": lambda r, i: jnp.hypot(r, i),
+        "LR": lambda r, i: -r,
+        "SR": lambda r, i: r,
+        "LI": lambda r, i: -i,
+        "SI": lambda r, i: i,
+    }
+    w = which.upper() if isinstance(which, str) else which
+    if w not in table:
+        raise ValueError(
+            f"unknown which={which!r}; expected one of {list(table)} or EigSorter"
+        )
+    return table[w](re, im)
 
 
 def sort_perm(vals: jax.Array, valid: jax.Array, which) -> jax.Array:

@@ -44,42 +44,43 @@ def sort_schur(
     but note inactive entries already carry out-of-spectrum keys if the caller
     used ``masking.sort_perm``-style keys).  Returns ``(T, Q, key_sorted)``.
     """
-    m = T.shape[0]
-    cdt = T.dtype
+    with jax.default_matmul_precision("highest"):
+        m = T.shape[0]
+        cdt = T.dtype
 
-    def swap_at(carry, j):
-        T, Q, key = carry
-        kj = jax.lax.dynamic_index_in_dim(key, j, 0, keepdims=False)
-        kj1 = jax.lax.dynamic_index_in_dim(key, j + 1, 0, keepdims=False)
-        do = kj > kj1
+        def swap_at(carry, j):
+            T, Q, key = carry
+            kj = jax.lax.dynamic_index_in_dim(key, j, 0, keepdims=False)
+            kj1 = jax.lax.dynamic_index_in_dim(key, j + 1, 0, keepdims=False)
+            do = kj > kj1
 
-        d1 = jax.lax.dynamic_index_in_dim(jnp.diagonal(T), j, 0, keepdims=False)
-        d2 = jax.lax.dynamic_index_in_dim(jnp.diagonal(T), j + 1, 0, keepdims=False)
-        t12 = jax.lax.dynamic_slice(T, (j, j + 1), (1, 1))[0, 0]
-        G = _swap_rotation(d1, t12, d2, cdt)
-        G = jnp.where(do, G, jnp.eye(2, dtype=cdt))
+            d1 = jax.lax.dynamic_index_in_dim(jnp.diagonal(T), j, 0, keepdims=False)
+            d2 = jax.lax.dynamic_index_in_dim(jnp.diagonal(T), j + 1, 0, keepdims=False)
+            t12 = jax.lax.dynamic_slice(T, (j, j + 1), (1, 1))[0, 0]
+            G = _swap_rotation(d1, t12, d2, cdt)
+            G = jnp.where(do, G, jnp.eye(2, dtype=cdt))
 
-        # rows j, j+1 of T:  T[j:j+2, :] = Gᴴ @ T[j:j+2, :]
-        rowsT = jax.lax.dynamic_slice(T, (j, 0), (2, m))
-        T = jax.lax.dynamic_update_slice(T, G.conj().T @ rowsT, (j, 0))
-        # cols j, j+1 of T and Q
-        colsT = jax.lax.dynamic_slice(T, (0, j), (m, 2))
-        T = jax.lax.dynamic_update_slice(T, colsT @ G, (0, j))
-        colsQ = jax.lax.dynamic_slice(Q, (0, j), (m, 2))
-        Q = jax.lax.dynamic_update_slice(Q, colsQ @ G, (0, j))
-        # exact zero below the swapped diagonal
-        T = jax.lax.dynamic_update_slice(
-            T, jnp.zeros((1, 1), cdt), (j + 1, j)
-        )
-        key = jnp.where(do, key.at[j].set(kj1).at[j + 1].set(kj), key)
-        return (T, Q, key), None
+            # rows j, j+1 of T:  T[j:j+2, :] = Gᴴ @ T[j:j+2, :]
+            rowsT = jax.lax.dynamic_slice(T, (j, 0), (2, m))
+            T = jax.lax.dynamic_update_slice(T, G.conj().T @ rowsT, (j, 0))
+            # cols j, j+1 of T and Q
+            colsT = jax.lax.dynamic_slice(T, (0, j), (m, 2))
+            T = jax.lax.dynamic_update_slice(T, colsT @ G, (0, j))
+            colsQ = jax.lax.dynamic_slice(Q, (0, j), (m, 2))
+            Q = jax.lax.dynamic_update_slice(Q, colsQ @ G, (0, j))
+            # exact zero below the swapped diagonal
+            T = jax.lax.dynamic_update_slice(
+                T, jnp.zeros((1, 1), cdt), (j + 1, j)
+            )
+            key = jnp.where(do, key.at[j].set(kj1).at[j + 1].set(kj), key)
+            return (T, Q, key), None
 
-    def one_pass(p, carry):
-        carry, _ = jax.lax.scan(swap_at, carry, jnp.arange(m - 1))
-        return carry
+        def one_pass(p, carry):
+            carry, _ = jax.lax.scan(swap_at, carry, jnp.arange(m - 1))
+            return carry
 
-    T, Q, key = jax.lax.fori_loop(0, m, one_pass, (T, Q, key))
-    return T, Q, key
+        T, Q, key = jax.lax.fori_loop(0, m, one_pass, (T, Q, key))
+        return T, Q, key
 
 
 def partition_schur(T: jax.Array, Q: jax.Array, select: jax.Array):
@@ -89,9 +90,10 @@ def partition_schur(T: jax.Array, Q: jax.Array, select: jax.Array):
     ``select`` is a boolean (m,) mask; returns ``(T, Q, nselected)``.  A stable
     reordering: selected eigenvalues keep their relative order, as do the rest.
     """
-    m = T.shape[0]
-    rdt = jnp.finfo(T.dtype).dtype
-    pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0).astype(rdt)
-    key = jnp.where(select, pos, pos + m)  # stable two-group key
-    T, Q, _ = sort_schur(T, Q, key)
-    return T, Q, jnp.sum(select.astype(jnp.int32))
+    with jax.default_matmul_precision("highest"):
+        m = T.shape[0]
+        rdt = jnp.finfo(T.dtype).dtype
+        pos = jax.lax.broadcasted_iota(jnp.int32, (m,), 0).astype(rdt)
+        key = jnp.where(select, pos, pos + m)  # stable two-group key
+        T, Q, _ = sort_schur(T, Q, key)
+        return T, Q, jnp.sum(select.astype(jnp.int32))

@@ -22,35 +22,36 @@ def triangular_eigvecs(T: jax.Array, k) -> jax.Array:
     ``T[:k,:k]`` for ``λ_i = T[i,i]`` (supported on rows ``<= i``); columns
     ``>= k`` are canonical unit vectors.
     """
-    m = T.shape[0]
-    cdt = T.dtype
-    rdt = jnp.finfo(cdt).dtype
-    eps = jnp.finfo(rdt).eps
-    tnorm = jnp.maximum(jnp.max(jnp.abs(T)), 1.0)
-    smin = eps * tnorm
+    with jax.default_matmul_precision("highest"):
+        m = T.shape[0]
+        cdt = T.dtype
+        rdt = jnp.finfo(cdt).dtype
+        eps = jnp.finfo(rdt).eps
+        tnorm = jnp.maximum(jnp.max(jnp.abs(T)), 1.0)
+        smin = eps * tnorm
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
-    eye = jnp.eye(m, dtype=cdt)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+        eye = jnp.eye(m, dtype=cdt)
 
-    def one_col(i):
-        lam = jax.lax.dynamic_index_in_dim(jnp.diagonal(T), i, 0, keepdims=False)
-        # leading block system, identity elsewhere so the full solve is exact
-        inblk = (rows < i) & (cols < i)
-        M = jnp.where(inblk, T, eye)
-        d = jnp.where(ridx < i, jnp.diagonal(T) - lam, 1)
-        # guard small pivots: |d| >= smin, keeping the phase
-        dmag = jnp.abs(d)
-        phase = jnp.where(dmag > 0, d / jnp.maximum(dmag, smin), 1)
-        d = jnp.where(dmag < smin, smin * phase, d)
-        M = jnp.where(rows == cols, 0, M) + jnp.diag(jnp.where(ridx < i, d, 1))
-        rhs = jnp.where(ridx < i, -jax.lax.dynamic_index_in_dim(T, i, 1, keepdims=False), 0)
-        y = jax.scipy.linalg.solve_triangular(M, rhs, lower=False)
-        x = jnp.where(ridx < i, y, 0) + jnp.where(ridx == i, 1, 0).astype(cdt)
-        return x / jnp.linalg.norm(x)
+        def one_col(i):
+            lam = jax.lax.dynamic_index_in_dim(jnp.diagonal(T), i, 0, keepdims=False)
+            # leading block system, identity elsewhere so the full solve is exact
+            inblk = (rows < i) & (cols < i)
+            M = jnp.where(inblk, T, eye)
+            d = jnp.where(ridx < i, jnp.diagonal(T) - lam, 1)
+            # guard small pivots: |d| >= smin, keeping the phase
+            dmag = jnp.abs(d)
+            phase = jnp.where(dmag > 0, d / jnp.maximum(dmag, smin), 1)
+            d = jnp.where(dmag < smin, smin * phase, d)
+            M = jnp.where(rows == cols, 0, M) + jnp.diag(jnp.where(ridx < i, d, 1))
+            rhs = jnp.where(ridx < i, -jax.lax.dynamic_index_in_dim(T, i, 1, keepdims=False), 0)
+            y = jax.scipy.linalg.solve_triangular(M, rhs, lower=False)
+            x = jnp.where(ridx < i, y, 0) + jnp.where(ridx == i, 1, 0).astype(cdt)
+            return x / jnp.linalg.norm(x)
 
-    X = jax.vmap(one_col)(jnp.arange(m)).T
-    # inactive columns: canonical basis
-    X = jnp.where(cols >= k, eye, X)
-    return X
+        X = jax.vmap(one_col)(jnp.arange(m)).T
+        # inactive columns: canonical basis
+        X = jnp.where(cols >= k, eye, X)
+        return X

@@ -7,10 +7,17 @@ kept in Krylov-Schur form (sorted triangular block + spike row); the next
 processing round re-reduces the small projected matrix on device
 (``dense.schur_active`` does Hessenberg reduction internally).
 
-Works in *complex* arithmetic throughout: real inputs are promoted (cost 2×),
-which buys a complex Schur form with no 2×2-block bookkeeping — the projected
-problems are ``krylovdim``-sized, so the promotion is invisible next to the
-operator applications.
+Two arithmetic modes, chosen by the problem's scalar type:
+
+* **real** (new in round 1b): real inputs keep the *basis* real — half the HBM
+  traffic of promotion — and the projected problem uses the REAL Schur form
+  with standardized 2×2 blocks (``dense.real_schur_active`` /
+  ``sort_schur_real`` / ``triangular_eigvecs_real``), exactly like the
+  reference's ``dhseqr``/``dtrevc`` path.  Convergence counting and the
+  Krylov-Schur ``keep`` never split a 2×2 block (reference
+  ``src/eigsolve/arnoldi.jl:404-406, 463``).  This is also the only
+  non-Hermitian path on TPU runtimes without complex support.
+* **complex**: complex inputs use the complex Schur form (no 2×2 blocks).
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ from ..ops.vector import VectorSpace, STANDARD
 
 PyTree = Any
 
-__all__ = ["eigsolve_arnoldi", "schursolve"]
+__all__ = ["eigsolve_arnoldi", "schursolve", "realeigsolve_arnoldi"]
 
 
 class _LoopState(NamedTuple):
@@ -85,13 +92,53 @@ def _restart(fact: kf.KrylovState, T, Q, beta, keep):
     return kf.KrylovState(Vnew, Hnew, keep.astype(jnp.int32), beta)
 
 
-def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt):
+def _process_real(H, k, beta, which, tol):
+    """Real-Schur analogue of :func:`_process`: quasi-triangular sort +
+    convergence count that never splits a 2×2 block."""
+    m1 = H.shape[0]
+    T, Q, ok = dense.real_schur_active(H, k)
+    T, Q = dense.sort_schur_real(T, Q, which, k)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (m1,), 0)
+    valid = idx < k
+    lastrow = jax.lax.dynamic_index_in_dim(Q, jnp.maximum(k - 1, 0), 0, keepdims=False)
+    res = jnp.abs(beta * lastrow)
+    res = jnp.where(valid, res, jnp.inf)
+    flags = res <= tol
+    nconv = jnp.sum(jnp.cumprod(flags.astype(jnp.int32))).astype(jnp.int32)
+    # 2×2 guard: if position nconv is the second member of a block, the count
+    # would split it — drop the whole block from the converged set
+    starts = dense.block_starts(T, k)
+    second = jnp.concatenate([jnp.zeros((1,), bool), starts[:-1]])
+    splits = jax.lax.dynamic_index_in_dim(
+        second, jnp.clip(nconv, 0, m1 - 1), 0, keepdims=False
+    ) & (nconv > 0) & (nconv < k)
+    nconv = nconv - splits.astype(jnp.int32)
+    return nconv, T, Q, res
+
+
+def _block_safe_keep(T, k, keep, m1):
+    """Adjust ``keep`` so the Krylov-Schur truncation does not split a 2×2
+    block (reference src/eigsolve/arnoldi.jl:463): prefer keeping the whole
+    block, fall back to dropping it at the buffer edge."""
+    starts = dense.block_starts(T, k)
+    split = jax.lax.dynamic_index_in_dim(
+        starts, jnp.clip(keep - 1, 0, m1 - 1), 0, keepdims=False
+    ) & (keep > 0) & (keep < k)
+    grown = keep + split.astype(jnp.int32)
+    fits = grown <= jnp.maximum(k - 1, 1)
+    return jnp.where(fits, grown, keep - split.astype(jnp.int32))
+
+
+def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
     m = alg.krylovdim
     rdt = jnp.finfo(cdt).dtype
     tol = jnp.asarray(alg.tol, rdt)
     btol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
 
-    fact0 = kf.initialize(x0, m, cdt, space, vec_dtype=cdt)
+    process = _process_real if real else _process
+    fact0 = kf.initialize(
+        x0, m, cdt, space, vec_dtype=None if real else cdt
+    )
     st0 = _LoopState(
         fact=fact0,
         numiter=jnp.int32(0),
@@ -123,7 +170,7 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt):
         )
         fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
 
-        nconv, T, Q, res = _process(fact.H, fact.k, fact.beta, which, tol)
+        nconv, T, Q, res = process(fact.H, fact.k, fact.beta, which, tol)
         full = fact.k >= m
         numiter = st.numiter + full.astype(jnp.int32)
         stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
@@ -133,6 +180,8 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt):
         )
         keep_raw = (3 * m + 2 * nconv) // 5
         keep = jnp.clip(keep_raw, 1, jnp.maximum(fact.k - 1, 1))
+        if real:
+            keep = _block_safe_keep(T, fact.k, keep, m + 1)
         restart_now = jnp.logical_and(jnp.logical_not(done), fact.k >= m)
         fact = jax.lax.cond(
             restart_now,
@@ -163,12 +212,22 @@ def schursolve(
     """Partial Schur decomposition (reference ``schursolve``,
     ``src/eigsolve/arnoldi.jl:1-150``): returns ``(T, vecs, vals, info)`` where
     ``vecs`` are the leading ``howmany`` Schur vectors and ``T`` the
-    ``(howmany, howmany)`` triangular factor."""
+    ``(howmany, howmany)`` triangular factor.
+
+    Real inputs run the REAL Schur path (real basis + quasi-triangular ``T``
+    with standardized 2×2 blocks, like the reference's LAPACK ``dhseqr``);
+    ``vals`` is then ``(re, im)`` as a pair of real arrays (no complex arrays
+    materialized — TPU-runtimes without complex support stay happy; combine
+    with ``re + 1j*im`` if you want complex).  A 2×2 block straddling the
+    ``howmany`` boundary is truncated (static shapes); pick ``howmany`` that
+    does not split a wanted conjugate pair."""
     m = alg.krylovdim
     if howmany > m:
         raise ValueError(f"howmany={howmany} exceeds krylovdim={m}")
-    cdt = jnp.result_type(probe_dtype(op, x0), jnp.complex64)
-    st = _arnoldi_loop(op, x0, howmany, which, alg, space, cdt)
+    pdt = probe_dtype(op, x0)
+    real = not jnp.issubdtype(pdt, jnp.complexfloating)
+    cdt = pdt if real else jnp.result_type(pdt, jnp.complex64)
+    st = _arnoldi_loop(op, x0, howmany, which, alg, space, cdt, real=real)
     fact = st.fact
     m1 = m + 1
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
@@ -177,7 +236,11 @@ def schursolve(
     Vs = bs.transform(fact.V, Qmask)
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vs)
     Tsmall = st.T[:howmany, :howmany]
-    vals = jnp.diagonal(st.T)[:howmany]
+    if real:
+        re, im = dense.real_schur_eigvals(st.T, fact.k)
+        vals = (re[:howmany], im[:howmany])
+    else:
+        vals = jnp.diagonal(st.T)[:howmany]
     lastrow = jax.lax.dynamic_index_in_dim(
         st.Q, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
@@ -206,28 +269,53 @@ def eigsolve_arnoldi(
 ):
     """General eigsolve via Krylov-Schur: returns ``(vals, vecs, info)``;
     eigenvectors extracted from the sorted Schur form with ``trevc``-style
-    back-substitution (reference ``src/eigsolve/arnoldi.jl:151-170``)."""
+    back-substitution (reference ``src/eigsolve/arnoldi.jl:151-170``).
+
+    Real inputs run the real-arithmetic loop (real basis — half the HBM
+    traffic); complex eigenvalues/eigenvectors are materialized only in this
+    final extraction, mirroring the reference's real ``dtrevc`` + pair
+    combination (``src/dense/linalg.jl:223-246``)."""
     m = alg.krylovdim
     if howmany > m:
         raise ValueError(f"howmany={howmany} exceeds krylovdim={m}")
-    cdt = jnp.result_type(probe_dtype(op, x0), jnp.complex64)
-    st = _arnoldi_loop(op, x0, howmany, which, alg, space, cdt)
+    pdt = probe_dtype(op, x0)
+    real = not jnp.issubdtype(pdt, jnp.complexfloating)
+    cdt = jnp.result_type(pdt, jnp.complex64)
+    st = _arnoldi_loop(
+        op, x0, howmany, which, alg, space, pdt if real else cdt, real=real
+    )
     fact = st.fact
     m1 = m + 1
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
-    X = dense.triangular_eigvecs(st.T, fact.k)  # eigvecs of T in Schur basis
-    QX = st.Q @ X
-    QXmask = jnp.where((rows < fact.k) & (cols < howmany), QX, 0)
-    Ve = bs.transform(fact.V, QXmask)
-    vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Ve)
-    vals = jnp.diagonal(st.T)[:howmany]
+    if real:
+        Xre, Xim = dense.triangular_eigvecs_real(st.T, fact.k)
+        re, im = dense.real_schur_eigvals(st.T, fact.k)
+        vals = (re + 1j * im).astype(cdt)[:howmany]
+        QXre, QXim = st.Q @ Xre, st.Q @ Xim
+        mask = (rows < fact.k) & (cols < howmany)
+        Vre = bs.transform(fact.V, jnp.where(mask, QXre, 0))
+        Vim = bs.transform(fact.V, jnp.where(mask, QXim, 0))
+        vecs = jax.tree_util.tree_map(
+            lambda lr, li: (lr[:howmany] + 1j * li[:howmany]).astype(cdt),
+            Vre,
+            Vim,
+        )
+        QX = (QXre + 1j * QXim).astype(cdt)
+    else:
+        X = dense.triangular_eigvecs(st.T, fact.k)  # eigvecs of T in Schur basis
+        QX = st.Q @ X
+        QXmask = jnp.where((rows < fact.k) & (cols < howmany), QX, 0)
+        Ve = bs.transform(fact.V, QXmask)
+        vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Ve)
+        vals = jnp.diagonal(st.T)[:howmany]
     # eigenvector residuals: A x_i − λ_i x_i = β·(QX)[k-1, i]·v_k
     lastrow = jax.lax.dynamic_index_in_dim(
         QX, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
     vk = bs.get(fact.V, fact.k)
+    vk = jax.tree_util.tree_map(lambda l: l.astype(cdt), vk)
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )
@@ -240,3 +328,70 @@ def eigsolve_arnoldi(
         numops=st.numops,
     )
     return vals, vecs, info
+
+
+def realeigsolve_arnoldi(
+    op: LinearOperator,
+    x0: PyTree,
+    howmany: int,
+    which,
+    alg: Arnoldi,
+    space: VectorSpace = STANDARD,
+):
+    """Eigsolve for real linear maps asserting real eigenvalues — the
+    reference's ``realeigsolve`` (``src/eigsolve/arnoldi.jl:293-349``) in
+    fully REAL arithmetic: real basis, real Schur form, real eigenvectors;
+    no complex arrays anywhere (safe on complex-less TPU runtimes).
+
+    Returns ``(vals, vecs, info, maximag)``: ``maximag`` is the largest
+    |Im λ| among the ``howmany`` selected eigenvalues — nonzero means a
+    complex conjugate pair entered the wanted window (the reference throws;
+    under jit the caller checks/raises on host where possible).
+    """
+    m = alg.krylovdim
+    if howmany > m:
+        raise ValueError(f"howmany={howmany} exceeds krylovdim={m}")
+    pdt = probe_dtype(op, x0)
+    if jnp.issubdtype(pdt, jnp.complexfloating):
+        raise ValueError(
+            "realeigsolve requires a real linear map and vector; got "
+            f"scalar type {pdt} (reference src/eigsolve/arnoldi.jl:293-300)"
+        )
+    st = _arnoldi_loop(op, x0, howmany, which, alg, space, pdt, real=True)
+    fact = st.fact
+    m1 = m + 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
+    re, im = dense.real_schur_eigvals(st.T, fact.k)
+    maximag = jnp.max(jnp.abs(im[:howmany]))
+    warn_if(
+        alg.verbosity,
+        maximag > 0,
+        "realeigsolve: a complex conjugate pair entered the wanted window "
+        "(max |imag| = {mi}); results are invalid — use eigsolve",
+        mi=maximag,
+    )
+    # real eigenvectors from the quasi-triangular form (imag parts are zero
+    # for genuinely real eigenvalues)
+    Xre, _ = dense.triangular_eigvecs_real(st.T, fact.k)
+    QX = st.Q @ Xre
+    mask = (rows < fact.k) & (cols < howmany)
+    Ve = bs.transform(fact.V, jnp.where(mask, QX, 0))
+    vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Ve)
+    vals = re[:howmany]
+    lastrow = jax.lax.dynamic_index_in_dim(
+        QX, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
+    )
+    s = fact.beta * lastrow
+    vk = bs.get(fact.V, fact.k)
+    residuals = jax.tree_util.tree_map(
+        lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
+    )
+    info = ConvergenceInfo(
+        converged=jnp.minimum(st.nconv, howmany),
+        residual=residuals,
+        normres=jnp.abs(s)[:howmany],
+        numiter=st.numiter,
+        numops=st.numops,
+    )
+    return vals, vecs, info, maximag

@@ -184,54 +184,45 @@ def realeigsolve(
     x0: Optional[PyTree] = None,
     howmany: int = 1,
     which="LM",
+    alg: Optional[Arnoldi] = None,
     *,
     imag_tol: Optional[float] = None,
+    space: VectorSpace = STANDARD,
     **kw,
 ):
     """Eigsolve for real linear maps asserting real eigenvalues (reference
     ``realeigsolve``, ``src/eigsolve/arnoldi.jl:293-349``).
 
-    Runs the complex Arnoldi driver and validates that the requested eigenvalues
-    have negligible imaginary part; raises on host if not (outside jit).
-    Returns real eigenvalues and phase-fixed real eigenvectors.
+    Runs the fully REAL Arnoldi driver (real basis, real Schur form with 2x2
+    blocks, real eigenvectors — no complex arrays anywhere, so this also works
+    on TPU runtimes without complex support).  If a complex conjugate pair
+    enters the wanted window the result is invalid: outside jit this raises
+    (like the reference); inside jit a WARN-level log fires and the caller can
+    inspect the eigenvalue residuals.
     """
-    kw.setdefault("ishermitian", False)
-    vals, vecs, info = eigsolve(A, x0, howmany, which, **kw)
-    tol = imag_tol
-    if tol is None:
-        rdt = jnp.finfo(vals.dtype).dtype
-        tol = float(np.finfo(np.dtype(rdt)) .eps ** 0.5)
-    imag_mag = jnp.max(jnp.abs(jnp.imag(vals)))
-    if not isinstance(imag_mag, jax.core.Tracer):
+    kw.pop("ishermitian", None)
+    op = as_operator(A)
+    x0 = _default_x0(A, x0)
+    if alg is None:
+        alg = Arnoldi(**{k: v for k, v in kw.items() if v is not None})
+    vals, vecs, info, maximag = _realeigsolve_core(
+        op, x0, howmany, which, alg, space
+    )
+    if not isinstance(maximag, jax.core.Tracer):
+        tol = imag_tol
+        if tol is None:
+            tol = float(np.finfo(np.dtype(jnp.finfo(vals.dtype).dtype)).eps ** 0.5)
         scalemax = max(1.0, float(jnp.max(jnp.abs(vals))))
-        if float(imag_mag) > tol * scalemax:
+        if float(maximag) > tol * scalemax:
             raise ValueError(
                 f"realeigsolve: requested eigenvalues are not real "
-                f"(max |imag| = {float(imag_mag):.3e}); use eigsolve instead"
+                f"(max |imag| = {float(maximag):.3e}); use eigsolve instead"
             )
+    return vals, vecs, info
 
-    # phase-fix: rotate each eigenvector so its largest component is real
-    flat = jax.tree_util.tree_leaves(vecs)
-    # find per-vector phase from the largest-magnitude entry across leaves
-    absmax = None
-    pick = None
-    for l in flat:
-        l2 = l.reshape(l.shape[0], -1)
-        am = jnp.max(jnp.abs(l2), axis=1)
-        val = jnp.take_along_axis(
-            l2, jnp.argmax(jnp.abs(l2), axis=1)[:, None], axis=1
-        )[:, 0]
-        if absmax is None:
-            absmax, pick = am, val
-        else:
-            better = am > absmax
-            absmax = jnp.where(better, am, absmax)
-            pick = jnp.where(better, val, pick)
-    phase = jnp.where(jnp.abs(pick) > 0, jnp.conj(pick) / jnp.abs(pick), 1)
-    vecs = jax.tree_util.tree_map(
-        lambda l: jnp.real(
-            l * phase.reshape((-1,) + (1,) * (l.ndim - 1)).astype(l.dtype)
-        ),
-        vecs,
-    )
-    return jnp.real(vals), vecs, info
+
+@partial(jax.jit, static_argnames=("howmany", "which", "alg", "space"))
+def _realeigsolve_core(op, x0, howmany, which, alg, space):
+    from .arnoldi import realeigsolve_arnoldi
+
+    return realeigsolve_arnoldi(op, x0, howmany, which, alg, space)

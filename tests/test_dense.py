@@ -218,3 +218,92 @@ def test_schur_traced_k():
     T, Q, ok = f(jnp.asarray(A), jnp.int32(5))
     assert bool(ok)
     assert eig_close(np.diag(np.asarray(T))[:5], np.linalg.eigvals(Ak), 1e-10)
+
+
+# ---------------------------------------------------------------------------
+# real Schur path (realschur / reorder_real / trevc_real)
+
+
+def test_real_schur_active_random():
+    rng = np.random.default_rng(0)
+    m = 16
+    for k in (3, 9, 16):
+        H = np.zeros((m, m))
+        H[:k, :k] = rng.standard_normal((k, k))
+        T, Q, ok = jax.jit(dense.real_schur_active)(jnp.asarray(H), k)
+        T, Q = np.asarray(T), np.asarray(Q)
+        assert bool(ok)
+        assert np.abs(Q.T @ Q - np.eye(m)).max() < 1e-12
+        assert np.abs(Q[:k, :k].T @ H[:k, :k] @ Q[:k, :k] - T[:k, :k]).max() < 1e-9
+        # quasi-triangular, no adjacent 2x2 overlap
+        sub = np.abs(np.diagonal(T, -1)[: k - 1]) > 0
+        if k > 2:
+            assert not np.any(sub[:-1] & sub[1:])
+        re, im = dense.real_schur_eigvals(jnp.asarray(T), k)
+        lam = np.asarray(re)[:k] + 1j * np.asarray(im)[:k]
+        exact = np.linalg.eigvals(H[:k, :k])
+        assert np.abs(np.sort_complex(lam) - np.sort_complex(exact)).max() < 1e-7
+
+
+def test_real_schur_rotation_blocks():
+    # orthogonal-similar block-diag of rotations: all complex pairs
+    rng = np.random.default_rng(1)
+    k = 10
+    R = np.zeros((k, k))
+    for i, t in enumerate(rng.uniform(0.3, 2.8, k // 2)):
+        R[2 * i : 2 * i + 2, 2 * i : 2 * i + 2] = [
+            [np.cos(t), -np.sin(t)],
+            [np.sin(t), np.cos(t)],
+        ]
+    P = np.linalg.qr(rng.standard_normal((k, k)))[0]
+    H = P @ R @ P.T
+    T, Q, ok = jax.jit(dense.real_schur_active)(jnp.asarray(H), k)
+    re, im = dense.real_schur_eigvals(T, k)
+    lam = np.asarray(re) + 1j * np.asarray(im)
+    exact = np.linalg.eigvals(H)
+    assert np.abs(np.sort_complex(lam) - np.sort_complex(exact)).max() < 1e-10
+    # every eigenvalue is complex: 5 standardized 2x2 blocks
+    assert int(np.sum(np.asarray(dense.block_starts(T, k)))) == 5
+
+
+def test_sort_schur_real():
+    rng = np.random.default_rng(2)
+    m, k = 14, 12
+    H = np.zeros((m, m))
+    H[:k, :k] = rng.standard_normal((k, k))
+    T, Q, ok = jax.jit(dense.real_schur_active)(jnp.asarray(H), k)
+    for which in ("LM", "LR", "SR"):
+        Ts, Qs = jax.jit(dense.sort_schur_real, static_argnums=(2,))(T, Q, which, k)
+        Ts, Qs = np.asarray(Ts), np.asarray(Qs)
+        assert np.abs(Qs.T @ Qs - np.eye(m)).max() < 1e-12
+        assert np.abs(Qs[:k, :k].T @ H[:k, :k] @ Qs[:k, :k] - Ts[:k, :k]).max() < 1e-9
+        re, im = dense.real_schur_eigvals(jnp.asarray(Ts), k)
+        lam = np.asarray(re)[:k] + 1j * np.asarray(im)[:k]
+        keyfn = {"LM": lambda v: -np.abs(v), "LR": lambda v: -v.real,
+                 "SR": lambda v: v.real}[which]
+        keys = keyfn(lam)
+        i, kl = 0, []
+        while i < k:
+            kl.append(keys[i])
+            i += 2 if im[i] != 0 else 1
+        kl = np.array(kl)
+        assert np.all(kl[:-1] <= kl[1:] + 1e-10)
+
+
+def test_triangular_eigvecs_real():
+    rng = np.random.default_rng(3)
+    m, k = 14, 11
+    H = np.zeros((m, m))
+    H[:k, :k] = rng.standard_normal((k, k))
+    T, Q, ok = jax.jit(dense.real_schur_active)(jnp.asarray(H), k)
+    Xre, Xim = jax.jit(dense.triangular_eigvecs_real)(T, k)
+    re, im = dense.real_schur_eigvals(T, k)
+    Tn = np.asarray(T)
+    X = np.asarray(Xre) + 1j * np.asarray(Xim)
+    lam = np.asarray(re) + 1j * np.asarray(im)
+    R = Tn[:k, :k] @ X[:k, :k] - X[:k, :k] * lam[None, :k]
+    assert np.abs(R).max() < 1e-10
+    # conjugate-pair convention: adjacent columns are conjugates
+    starts = np.asarray(dense.block_starts(T, k))
+    for i in np.nonzero(starts)[0]:
+        assert np.abs(X[:, i + 1] - X[:, i].conj()).max() < 1e-12

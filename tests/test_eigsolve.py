@@ -169,18 +169,50 @@ def test_eigsorter():
     assert eig_close(np.asarray(vals), np.sort(w)[::-1][:2], 1e-8)
 
 
-def test_schursolve():
+def test_schursolve_real():
+    # real input -> REAL Schur path: quasi-triangular T (2x2 blocks for
+    # conjugate pairs), real Schur vectors, vals as an (re, im) pair
     rng = np.random.default_rng(8)
     A = rand_mat(rng, 50, 50, np.float64) * 3
     x0 = jnp.asarray(rand_vec(rng, 50, np.float64))
+    # spectrum by |.|: conj pair, real, conj pair -> howmany=3 cuts cleanly
+    hm = 3
+    T, vecs, (re, im), info = kk.schursolve(
+        jnp.asarray(A), x0, howmany=hm, which="LM",
+        krylovdim=20, maxiter=200, tol=1e-10,
+    )
+    assert int(info.converged) >= hm
+    Tn = np.asarray(T)
+    V = np.asarray(vecs).T  # columns = Schur vectors, REAL
+    assert V.dtype == np.float64 and Tn.dtype == np.float64
+    assert np.linalg.norm(A @ V - V @ Tn) < 1e-8
+    assert np.allclose(V.T @ V, np.eye(hm), atol=1e-10)
+    # quasi-triangular: nothing below the first subdiagonal
+    assert np.max(np.abs(np.tril(Tn, -2))) < 1e-12
+    w = np.linalg.eigvals(A)
+    lam = np.asarray(re) + 1j * np.asarray(im)
+    assert eig_close(lam, sortsel(w, "LM", hm), 1e-8)
+    # a howmany that splits a conjugate pair is detectable: im[-1] != 0 with
+    # the partner truncated (static shapes cannot grow the return like the
+    # reference's dynamic howmany+1)
+    _, _, (re4, im4), _ = kk.schursolve(
+        jnp.asarray(A), x0, howmany=4, which="LM",
+        krylovdim=20, maxiter=200, tol=1e-10,
+    )
+    assert abs(float(im4[-1])) > 0.1
+
+
+def test_schursolve_complex():
+    rng = np.random.default_rng(8)
+    A = rand_mat(rng, 50, 50, np.complex128) * 3
+    x0 = jnp.asarray(rand_vec(rng, 50, np.complex128))
     T, vecs, vals, info = kk.schursolve(
         jnp.asarray(A), x0, howmany=3, which="LM",
         krylovdim=20, maxiter=200, tol=1e-10,
     )
     assert int(info.converged) >= 3
     Tn = np.asarray(T)
-    V = np.asarray(vecs).T  # columns = Schur vectors
-    # partial Schur relation A V = V T
+    V = np.asarray(vecs).T
     assert np.linalg.norm(A @ V - V @ Tn) < 1e-8
     assert np.allclose(V.conj().T @ V, np.eye(3), atol=1e-10)
     assert np.max(np.abs(np.tril(Tn, -1))) < 1e-12
