@@ -157,6 +157,24 @@ def eigsolve(
         "SI",
     ):
         raise ValueError("which=LI/SI invalid for Hermitian problems")
+    if isinstance(alg, Arnoldi) and isinstance(which, str) and which.upper() in (
+        "LI",
+        "SI",
+    ):
+        # real maps have conjugate-symmetric spectra: selecting by imaginary
+        # part cannot separate a conjugate pair (reference requires a
+        # conj-symmetric `by`, src/eigsolve/eigsolve.jl:209-236)
+        from ..ops.operator import probe_dtype as _probe
+
+        try:
+            pdt = _probe(op, x0)
+        except Exception:
+            pdt = None
+        if pdt is not None and not jnp.issubdtype(pdt, jnp.complexfloating):
+            raise ValueError(
+                "which=LI/SI invalid for real linear maps (conjugate-symmetric "
+                "spectrum) — reference src/eigsolve/eigsolve.jl:209-236"
+            )
     return _eigsolve_core(op, x0, howmany, which, alg, space, alg_rrule)
 
 

@@ -324,3 +324,25 @@ def test_tile_aligned_2d_layout():
     np.testing.assert_allclose(np.asarray(v1), exact, rtol=1e-8)
     # eigenvectors live in the vector's shape
     assert jax.tree_util.tree_leaves(V2)[0].shape == (4, nn // 128, 128)
+
+
+def test_real_arnoldi_LI_rejected():
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((20, 20))
+    with pytest.raises(ValueError, match="LI/SI invalid for real"):
+        kk.eigsolve(jnp.asarray(A), jnp.ones(20), 2, "LI", ishermitian=False)
+
+
+def test_realeigsolve_pytree_operator():
+    # fully real path with a callable pytree operator on the TPU-style layout
+    rng = np.random.default_rng(12)
+    D = jnp.asarray(np.linspace(1.0, 6.0, 256).reshape(2, 128))
+
+    def f(x):
+        return {"a": D * x["a"]}
+
+    x0 = {"a": jnp.asarray(rng.standard_normal((2, 128)))}
+    vals, vecs, info = kk.realeigsolve(f, x0, 2, "LR", krylovdim=25,
+                                       maxiter=100, tol=1e-10)
+    assert np.allclose(np.asarray(vals), [6.0, np.asarray(D).ravel()[-2]], atol=1e-7)
+    assert np.asarray(vals).dtype == np.float64
