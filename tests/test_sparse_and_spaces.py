@@ -150,3 +150,60 @@ def test_nested_tuple_svd_embedding():
     want = np.linalg.svd(A, compute_uv=False)[:3]
     assert int(info.converged) >= 3
     assert np.allclose(np.asarray(vals), want, atol=1e-8)
+
+
+def test_sharded_mesh_real_arnoldi():
+    """Real non-Hermitian path with the vector dimension sharded: the REAL
+    Schur projected problems are replicated, collectives exercised for real."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from krylovkit_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = make_mesh(8)
+    N_ = 256
+
+    # non-normal triangular map: diag(d) + nilpotent up-shift — spectrum = d
+    d = jnp.asarray(np.linspace(1.0, 5.0, N_))
+    idx = jnp.arange(N_)
+
+    def apply(x):
+        y = d * x + 0.02 * jnp.where(idx < N_ - 1, jnp.roll(x, -1), 0.0)
+        return jax.lax.with_sharding_constraint(y, NamedSharding(mesh, P("vec")))
+
+    def apply_adj(x):
+        y = d * x + 0.02 * jnp.where(idx > 0, jnp.roll(x, 1), 0.0)
+        return jax.lax.with_sharding_constraint(y, NamedSharding(mesh, P("vec")))
+
+    x0 = jax.device_put(
+        jnp.asarray(np.random.default_rng(106).standard_normal(N_)),
+        NamedSharding(mesh, P("vec")),
+    )
+    T, vecs, (re, im), info = kk.schursolve(
+        (apply, apply_adj), x0, howmany=2, which="LM",
+        krylovdim=25, maxiter=150, tol=1e-9,
+    )
+    ex = np.sort(np.asarray(d))[::-1][:2]
+    lam = np.asarray(re) + 1j * np.asarray(im)
+    assert int(info.converged) >= 2
+    assert np.abs(np.asarray(im)).max() < 1e-7
+    assert np.abs(np.sort(lam.real)[::-1] - ex).max() < 1e-6
+
+
+def test_real_arnoldi_f32():
+    """f32 real-Schur path at eps^(2/3) tolerance (the reference's f32 test
+    regime, test/testsetup.jl:14-15)."""
+    rng = np.random.default_rng(107)
+    A = rng.standard_normal((60, 60)).astype(np.float32)
+    x0 = jnp.asarray(rng.standard_normal(60), jnp.float32)
+    tol = float(np.finfo(np.float32).eps ** (2 / 3))
+    vals, vecs, info = kk.eigsolve(
+        jnp.asarray(A), x0, 3, "LM", ishermitian=False,
+        krylovdim=25, maxiter=100, tol=tol,
+    )
+    ex = np.linalg.eigvals(A.astype(np.float64))
+    ex = ex[np.argsort(-np.abs(ex))][:3]
+    assert int(info.converged) >= 3
+    assert np.abs(np.sort_complex(np.asarray(vals).astype(np.complex128))
+                  - np.sort_complex(ex)).max() < 10 * tol * np.abs(ex[0])
