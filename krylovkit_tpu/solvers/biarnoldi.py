@@ -15,7 +15,13 @@ Mirrors the reference ``bieigsolve``/``_bischursolve``
 * left eigenvectors from right ones through the ``ZᴴMQ`` relation (``:156-170``),
   which makes the returned pairs automatically biorthogonal.
 
-Works in complex arithmetic (real input promoted): no 2×2-block bookkeeping.
+Like the one-sided Arnoldi driver, REAL inputs keep both bases and both
+projected problems in real arithmetic (REAL Schur forms with 2×2 blocks,
+block-integrity-safe convergence counting and restart size; the left side's
+``conj ∘ which`` ordering coincides with ``which`` for string sort targets
+since real spectra are conjugate-symmetric).  Complex eigenvalues and
+eigenvectors are materialized only in the final extraction.  Complex inputs
+use complex Schur forms (no 2×2 bookkeeping).
 Returns ``(values, (vecsV, vecsW), (infoV, infoW))``.
 """
 
@@ -87,14 +93,16 @@ def bieigsolve_driver(
     m = alg.krylovdim
     if howmany > m:
         raise ValueError(f"howmany={howmany} exceeds krylovdim={m}")
-    cdt = jnp.result_type(probe_dtype(op, v0), jnp.complex64)
+    pdt = probe_dtype(op, v0)
+    real = not jnp.issubdtype(pdt, jnp.complexfloating) and isinstance(which, str)
+    cdt = pdt if real else jnp.result_type(pdt, jnp.complex64)
     rdt = jnp.finfo(cdt).dtype
     tol = jnp.asarray(alg.tol, rdt)
     btol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
     m1 = m + 1
 
-    fV0 = kf.initialize(v0, m, cdt, space, vec_dtype=cdt)
-    fW0 = kf.initialize(w0, m, cdt, space, vec_dtype=cdt)
+    fV0 = kf.initialize(v0, m, cdt, space, vec_dtype=None if real else cdt)
+    fW0 = kf.initialize(w0, m, cdt, space, vec_dtype=None if real else cdt)
     M0 = jnp.zeros((m1, m1), cdt)
     M0 = M0.at[0, 0].set(space.inner(bs.get(fV0.V, 0), bs.get(fW0.V, 0)).conj())
 
@@ -157,17 +165,26 @@ def bieigsolve_driver(
         brV = space.norm(rV)
         brW = space.norm(rW)
 
-        # dual Schur + sort (left side by conj ∘ which)
-        S, Q, _ = dense.schur_active(Ht, L)
-        T, Z, _ = dense.schur_active(Kt, L)
+        # dual Schur + sort (left side by conj ∘ which; for real string
+        # targets conj∘which == which since the spectrum is conj-symmetric)
         idx = jax.lax.broadcasted_iota(jnp.int32, (m1,), 0)
         valid = idx < L
-        keyS = jnp.where(valid, dense.which_key(jnp.diagonal(S), which), jnp.inf)
-        keyT = jnp.where(
-            valid, dense.which_key(jnp.conj(jnp.diagonal(T)), which), jnp.inf
-        )
-        S, Q, _ = dense.sort_schur(S, Q, keyS)
-        T, Z, _ = dense.sort_schur(T, Z, keyT)
+        if real:
+            S, Q, _ = dense.real_schur_active(Ht, L)
+            T, Z, _ = dense.real_schur_active(Kt, L)
+            S, Q = dense.sort_schur_real(S, Q, which, L)
+            T, Z = dense.sort_schur_real(T, Z, which, L)
+        else:
+            S, Q, _ = dense.schur_active(Ht, L)
+            T, Z, _ = dense.schur_active(Kt, L)
+            keyS = jnp.where(
+                valid, dense.which_key(jnp.diagonal(S), which), jnp.inf
+            )
+            keyT = jnp.where(
+                valid, dense.which_key(jnp.conj(jnp.diagonal(T)), which), jnp.inf
+            )
+            S, Q, _ = dense.sort_schur(S, Q, keyS)
+            T, Z, _ = dense.sort_schur(T, Z, keyT)
 
         lastQ = jax.lax.dynamic_index_in_dim(Q, jnp.maximum(Li - 1, 0), 0, keepdims=False)
         lastZ = jax.lax.dynamic_index_in_dim(Z, jnp.maximum(Li - 1, 0), 0, keepdims=False)
@@ -178,6 +195,20 @@ def bieigsolve_driver(
         res = jnp.where(valid, res, jnp.inf)
         flags = res <= tol
         nconv = jnp.sum(jnp.cumprod(flags.astype(jnp.int32))).astype(jnp.int32)
+        if real:
+            # never count or keep half a 2×2 block (either side)
+            startsS = dense.block_starts(S, L)
+            startsT = dense.block_starts(T, L)
+            secS = jnp.concatenate([jnp.zeros((1,), bool), startsS[:-1]])
+            secT = jnp.concatenate([jnp.zeros((1,), bool), startsT[:-1]])
+            splits = (
+                jax.lax.dynamic_index_in_dim(
+                    secS | secT, jnp.clip(nconv, 0, m1 - 1), 0, keepdims=False
+                )
+                & (nconv > 0)
+                & (nconv < L)
+            )
+            nconv = nconv - splits.astype(jnp.int32)
 
         full = L >= m
         numiter = st.numiter + full.astype(jnp.int32)
@@ -187,6 +218,18 @@ def bieigsolve_driver(
         keep = jnp.clip((3 * m + 2 * nconv) // 5, 1, jnp.maximum(L - 1, 1)).astype(
             jnp.int32
         )
+        if real:
+            # decrement-only block-boundary adjustment, alternating sides
+            def dec(keep, starts):
+                hit = jax.lax.dynamic_index_in_dim(
+                    starts, jnp.clip(keep - 1, 0, m1 - 1), 0, keepdims=False
+                ) & (keep > 1) & (keep < L)
+                return keep - hit.astype(jnp.int32)
+
+            def adj(i, keep):
+                return dec(dec(keep, startsS), startsT)
+
+            keep = jnp.maximum(jax.lax.fori_loop(0, 3, adj, keep), 1)
 
         def do_restart(args):
             fV, fW, M = args
@@ -254,41 +297,89 @@ def bieigsolve_driver(
         nc=st.nconv, it=st.numiter,
     )
 
-    # --- extraction (reference bieigsolve body, :151-200) ---
+    # --- extraction (reference bieigsolve body, :151-200); in real mode this
+    # is the only place complex values are materialized ---
     hm = howmany
     L = st.fV.k
-    vals = jnp.diagonal(st.S)[:hm]
-    XS = dense.triangular_eigvecs(st.S, L)[:, :hm]  # eigvecs of S (m1, hm)
-    # ZᴴMQ restricted to howmany block
+    ccdt = jnp.result_type(cdt, jnp.complex64)
+    if real:
+        re_, im_ = dense.real_schur_eigvals(st.S, L)
+        vals = (re_ + 1j * im_).astype(ccdt)[:hm]
+        Xre, Xim = dense.triangular_eigvecs_real(st.S, L)
+        XS = (Xre + 1j * Xim).astype(ccdt)[:, :hm]
+    else:
+        vals = jnp.diagonal(st.S)[:hm]
+        XS = dense.triangular_eigvecs(st.S, L)[:, :hm]  # eigvecs of S (m1, hm)
+    Qc = st.Q.astype(ccdt)
+    Zc = st.Z.astype(ccdt)
+    Mc = st.M.astype(ccdt)
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
-    lmask = (rows < L) & (cols < hm)
-    Qh = jnp.where(lmask, st.Q, 0)
-    Zh = jnp.where(lmask, st.Z, 0)
-    ZMQ = (Zh.conj().T @ (st.M @ Qh))[:hm, :hm]
-    XT = jnp.linalg.inv((ZMQ @ XS[:hm, :hm]).conj().T)  # (hm, hm)
+    if real:
+        # per-column left eigenvectors: T's eigvec for conj(λ_j), column-wise
+        # biorthonormalized through ZᴴMQ.  (The reference's inv((ZᴴMQ·XS)ᴴ)
+        # block formula assumes the leading hm Schur columns span an invariant
+        # subspace, which fails for a quasi-triangular T when a 2×2 block
+        # straddles hm; the per-column form only needs each column.)
+        TXre, TXim = dense.triangular_eigvecs_real(st.T, L)
+        Yt_full = (TXre - 1j * TXim).astype(ccdt)  # conj: pair-member flip
+        amask = (rows < L) & (cols < L)
+        Qa = jnp.where(amask, Qc, 0)
+        Za = jnp.where(amask, Zc, 0)
+        ZMQf = Za.conj().T @ (Mc @ Qa)
+        XSf = jnp.zeros((m1, m1), ccdt).at[:, :hm].set(XS)
+        g = jnp.einsum("ij,ij->j", Yt_full.conj(), ZMQf @ XSf)[:hm]
+        gmag2 = jnp.abs(g) ** 2
+        tiny = jnp.asarray(jnp.finfo(rdt).tiny, rdt)
+        sc = jnp.conj(g) / jnp.maximum(gmag2, tiny)  # y_j ← y_j·conj(1/g_j)ᴴ
+        XT = Yt_full[:hm, :hm] * jnp.conj(sc)[None, :]
+        # Yt support beyond hm rows matters: build full (m1, hm) coefficients
+        XTcols = Yt_full[:, :hm] * jnp.conj(sc)[None, :]
+    else:
+        # ZᴴMQ restricted to howmany block
+        lmask = (rows < L) & (cols < hm)
+        Qh = jnp.where(lmask, Qc, 0)
+        Zh = jnp.where(lmask, Zc, 0)
+        ZMQ = (Zh.conj().T @ (Mc @ Qh))[:hm, :hm]
+        XT = jnp.linalg.inv((ZMQ @ XS[:hm, :hm]).conj().T)  # (hm, hm)
+        XTcols = jnp.zeros((m1, hm), ccdt).at[:hm, :hm].set(XT)
+
+    def _transform_cplx(V, C):
+        """``V`` (possibly real) basis × complex coefficient matrix."""
+        if real:
+            Vr = bs.transform(V, jnp.real(C))
+            Vi = bs.transform(V, jnp.imag(C))
+            return jax.tree_util.tree_map(
+                lambda lr, li: (lr + 1j * li).astype(ccdt), Vr, Vi
+            )
+        return bs.transform(V, C)
+
     # right eigenvectors: V · (Q · XS); left: W · (Z · XT)
-    QXS = st.Q @ jnp.where(rows[:, :hm] < L, XS, 0)
+    QXS = Qc @ jnp.where(rows[:, :hm] < L, XS, 0)
     QXSm = jnp.where((rows < L) & (cols < hm), jnp.pad(QXS, ((0, 0), (0, m1 - hm))), 0)
-    Vv = bs.transform(st.fV.V, QXSm)
+    Vv = _transform_cplx(st.fV.V, QXSm)
     vecsV = jax.tree_util.tree_map(lambda l: l[:hm], Vv)
-    XTfull = jnp.zeros((m1, m1), cdt).at[:hm, :hm].set(XT)
-    ZXT = st.Z @ XTfull
+    XTfull = jnp.zeros((m1, m1), ccdt).at[:, :hm].set(
+        jnp.where(rows[:, :hm] < L, XTcols, 0)
+    )
+    ZXT = Zc @ XTfull
     ZXTm = jnp.where((rows < L) & (cols < hm), ZXT, 0)
-    Wv = bs.transform(st.fW.V, ZXTm)
+    Wv = _transform_cplx(st.fW.V, ZXTm)
     vecsW = jax.tree_util.tree_map(lambda l: l[:hm], Wv)
     # residuals and norms
-    hS = jnp.conj(st.h[:hm]) @ XS[:hm, :hm]  # hᴴ · xs per column
-    kT = jnp.conj(st.kv[:hm]) @ XT[:hm, :hm]
+    hS = jnp.conj(st.h[:hm].astype(ccdt)) @ XS[:hm, :hm]  # hᴴ · xs per column
+    kT = jnp.conj(st.kv.astype(ccdt)) @ jnp.where(rows[:, :hm] < L, XTcols, 0)
     nrV = st.brV
     nrW = st.brW
     resnV = nrV * jnp.abs(hS)
     resnW = nrW * jnp.abs(kT)
+    rVc = jax.tree_util.tree_map(lambda l: l.astype(ccdt), st.rV)
+    rWc = jax.tree_util.tree_map(lambda l: l.astype(ccdt), st.rW)
     residualsV = jax.tree_util.tree_map(
-        lambda l: hS.reshape((hm,) + (1,) * l.ndim).astype(l.dtype) * l[None], st.rV
+        lambda l: hS.reshape((hm,) + (1,) * l.ndim).astype(l.dtype) * l[None], rVc
     )
     residualsW = jax.tree_util.tree_map(
-        lambda l: kT.reshape((hm,) + (1,) * l.ndim).astype(l.dtype) * l[None], st.rW
+        lambda l: kT.reshape((hm,) + (1,) * l.ndim).astype(l.dtype) * l[None], rWc
     )
     conv = jnp.minimum(st.nconv, hm)
     infoV = ConvergenceInfo(conv, residualsV, resnV, st.numiter, st.numops)

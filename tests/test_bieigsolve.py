@@ -42,7 +42,7 @@ def test_bieig_full(dtype):
     assert np.linalg.norm(off) <= 1e-6 * max(1.0, np.linalg.norm(np.diagonal(G)))
 
 
-@pytest.mark.parametrize("dtype", [np.complex128])
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
 def test_bieig_iterative(dtype):
     rng = np.random.default_rng(62)
     A = rand_mat(rng, N, N, dtype) + np.diag(np.linspace(0, 2, N)).astype(dtype)
