@@ -29,6 +29,17 @@ from ..ops.vector import zerovector
 
 PyTree = Any
 
+def _astype_real_safe(x, dt):
+    """``x.astype(dt)`` with the complex→real truncation made explicit (the
+    imaginary parts cancel mathematically for real primals; JAX deprecates the
+    implicit cast)."""
+    if jnp.issubdtype(x.dtype, jnp.complexfloating) and not jnp.issubdtype(
+        jnp.dtype(dt), jnp.complexfloating
+    ):
+        x = jnp.real(x)
+    return x.astype(dt)
+
+
 __all__ = ["eigsolve_vjp"]
 
 
@@ -165,7 +176,7 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
     apad = apad.at[:n, :].set(a)
     Z0 = jax.tree_util.tree_map(
         lambda lv: jnp.tensordot(
-            apad.T.astype(lv.dtype), lv, axes=[[1], [0]]
+            _astype_real_safe(apad.T, lv.dtype), lv, axes=[[1], [0]]
         ),
         vecs,
     )  # stacked (n, ...) — z_i at row i
@@ -174,7 +185,7 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
     vpad = jnp.zeros_like(apad).at[:n, :].set(VdDV)
     Dperp = jax.tree_util.tree_map(
         lambda ld, lv: ld
-        - jnp.tensordot(vpad.T.astype(lv.dtype), lv, axes=[[1], [0]]),
+        - jnp.tensordot(_astype_real_safe(vpad.T, lv.dtype), lv, axes=[[1], [0]]),
         dvecs,
         vecs,
     )
@@ -194,7 +205,7 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
         wperp = jax.tree_util.tree_map(lambda a_, b_: a_ - b_, w, w0)
         wp = op.apply_adjoint(wperp)
         wp = jax.tree_util.tree_map(
-            lambda l, l0: l + shift.astype(l.dtype) * l0, wp, w0
+            lambda l, l0: l + _astype_real_safe(shift, l.dtype) * l0, wp, w0
         )
         # − Σ_i ΔV_i x_i
         wp = jax.tree_util.tree_map(
@@ -236,7 +247,7 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
     Wq = jax.tree_util.tree_map(
         lambda lw, lv: lw
         - jnp.tensordot(
-            Wq_c[:, : lw.shape[0]].T.astype(lv.dtype), lv, axes=[[1], [0]]
+            _astype_real_safe(Wq_c[:, : lw.shape[0]].T, lv.dtype), lv, axes=[[1], [0]]
         ),
         Wvec,
         vecs,
@@ -244,7 +255,7 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
     # ws_i = z_i − Σ_j Wq_j Zinv[j, i]  → stacked: Z0 − Zinv^T · Wq
     ws = jax.tree_util.tree_map(
         lambda lz, lq: lz
-        - jnp.tensordot(Zinv.T.astype(lq.dtype), lq[:n], axes=[[1], [0]]),
+        - jnp.tensordot(_astype_real_safe(Zinv.T, lq.dtype), lq[:n], axes=[[1], [0]]),
         Z0,
         Wq,
     )
@@ -302,7 +313,7 @@ def _bwd_sylvester_general(howmany, which, alg, alg_rrule, space, res, cot):
     def mix(coeffs):
         pad = jnp.zeros((cap, n), cdt).at[:n, :].set(coeffs)
         return jax.tree_util.tree_map(
-            lambda lv: jnp.tensordot(pad.T.astype(lv.dtype), lv, axes=[[1], [0]]),
+            lambda lv: jnp.tensordot(_astype_real_safe(pad.T, lv.dtype), lv, axes=[[1], [0]]),
             vecs,
         )
 
@@ -333,7 +344,7 @@ def _bwd_sylvester_general(howmany, which, alg, alg_rrule, space, res, cot):
         wperp = jax.tree_util.tree_map(lambda a_, b_: a_ - b_, w, w0)
         wp = op.apply_adjoint(wperp)
         wp = jax.tree_util.tree_map(
-            lambda l, l0: l + shift.astype(l.dtype) * l0, wp, w0
+            lambda l, l0: l + _astype_real_safe(shift, l.dtype) * l0, wp, w0
         )
         wp = jax.tree_util.tree_map(
             lambda l, ld: l
@@ -364,13 +375,13 @@ def _bwd_sylvester_general(howmany, which, alg, alg_rrule, space, res, cot):
     covl = jnp.linalg.solve(G, ovl)  # (n, n)
     Wq = jax.tree_util.tree_map(
         lambda lw, lv: lw
-        - jnp.tensordot(covl.T.astype(lv.dtype), lv, axes=[[1], [0]]),
+        - jnp.tensordot(_astype_real_safe(covl.T, lv.dtype), lv, axes=[[1], [0]]),
         Wvec,
         vecs,
     )
     ws = jax.tree_util.tree_map(
         lambda lz, lq: lz
-        - jnp.tensordot(Zinv.T.astype(lq.dtype), lq[:n], axes=[[1], [0]]),
+        - jnp.tensordot(_astype_real_safe(Zinv.T, lq.dtype), lq[:n], axes=[[1], [0]]),
         Z0,
         Wq,
     )

@@ -27,6 +27,17 @@ from ..ops.vector import zerovector
 
 PyTree = Any
 
+def _astype_real_safe(x, dt):
+    """``x.astype(dt)`` with the complex→real truncation made explicit (the
+    imaginary parts cancel mathematically for real primals; JAX deprecates the
+    implicit cast)."""
+    if jnp.issubdtype(x.dtype, jnp.complexfloating) and not jnp.issubdtype(
+        jnp.dtype(dt), jnp.complexfloating
+    ):
+        x = jnp.real(x)
+    return x.astype(dt)
+
+
 __all__ = ["svdsolve_vjp"]
 
 
@@ -100,7 +111,7 @@ def _bwd_gmres(howmany, which, alg, alg_rrule, space, res, cot):
         def opb(xy, sig=sig, u=u, v=v):
             x, y = xy
             xp = jax.tree_util.tree_map(
-                lambda lx, lay: sig.astype(lx.dtype) * lx - lay, x, op.normal(y)
+                lambda lx, lay: _astype_real_safe(sig, lx.dtype) * lx - lay, x, op.normal(y)
             )
             yp = jax.tree_util.tree_map(
                 lambda ly, lax_: sig.astype(ly.dtype) * ly - lax_, y,
@@ -186,7 +197,7 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
         cap = jax.tree_util.tree_leaves(basis_)[0].shape[0]
         pad = jnp.zeros((cap, n), cdt).at[:n, :].set(coeffs)
         return jax.tree_util.tree_map(
-            lambda lv: jnp.tensordot(pad.T.astype(lv.dtype), lv, axes=[[1], [0]]),
+            lambda lv: jnp.tensordot(_astype_real_safe(pad.T, lv.dtype), lv, axes=[[1], [0]]),
             basis_,
         )
 
@@ -234,12 +245,12 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
 
     xs = jax.tree_util.tree_map(
         lambda l0, lw: l0
-        - jnp.tensordot(Zinv.T.astype(lw.dtype), lw[:n], axes=[[1], [0]]),
+        - jnp.tensordot(_astype_real_safe(Zinv.T, lw.dtype), lw[:n], axes=[[1], [0]]),
         xs0, Wx,
     )
     ys = jax.tree_util.tree_map(
         lambda l0, lw: l0
-        - jnp.tensordot(Zinv.T.astype(lw.dtype), lw[:n], axes=[[1], [0]]),
+        - jnp.tensordot(_astype_real_safe(Zinv.T, lw.dtype), lw[:n], axes=[[1], [0]]),
         ys0, Wy,
     )
     if not jnp.issubdtype(cdt, jnp.complexfloating):

@@ -33,7 +33,13 @@ from . import vector as vec
 PyTree = Any
 OperatorLike = Union[jax.Array, Callable, Tuple]
 
-__all__ = ["LinearOperator", "as_operator", "as_generalized_pair", "apply_shifted"]
+__all__ = [
+    "LinearOperator",
+    "ParametricOperator",
+    "as_operator",
+    "as_generalized_pair",
+    "apply_shifted",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +117,60 @@ jax.tree_util.register_pytree_node(
     MatrixOperator,
     lambda op: ((op.A,), ()),
     lambda aux, children: MatrixOperator(children[0]),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParametricOperator(LinearOperator):
+    """Operator whose application depends on differentiable parameters carried
+    as pytree DATA: ``apply_fn(params, x)``.
+
+    Plain callables close over their parameters statically, so ``jax.grad``
+    through a solve cannot differentiate with respect to them (custom-VJP
+    rules only see explicit inputs).  Carrying ``params`` as pytree children
+    routes them through the solvers' ``custom_vjp`` rules — the operator
+    cotangent is then the gradient with respect to ``params``.
+
+    Example::
+
+        op = ParametricOperator(lambda g, x: g * x, params=g)
+        vals, vecs, info = kk.eigsolve(op, x0, 1, "SR", ishermitian=True)
+    """
+
+    apply_fn: Callable = None
+    params: Any = None
+    adjoint_fn: Optional[Callable] = None
+
+    def __init__(self, apply_fn, params, adjoint_fn=None):
+        object.__setattr__(self, "apply_fn", apply_fn)
+        object.__setattr__(self, "params", params)
+        object.__setattr__(self, "adjoint_fn", adjoint_fn)
+        object.__setattr__(self, "normal", lambda x: apply_fn(self.params, x))
+        object.__setattr__(
+            self,
+            "adjoint",
+            (lambda y: adjoint_fn(self.params, y)) if adjoint_fn is not None else None,
+        )
+
+    def with_adjoint_from(self, x_template: PyTree) -> "ParametricOperator":
+        # keep params explicit — a plain-LinearOperator wrap would bury the
+        # (possibly traced) params inside a static closure and break jax.grad
+        if self.adjoint is not None:
+            return self
+        f = self.apply_fn
+
+        def adj_fn(params, y):
+            ybar = jax.tree_util.tree_map(jnp.conj, y)
+            (xbar,) = jax.linear_transpose(lambda x: f(params, x), x_template)(ybar)
+            return jax.tree_util.tree_map(jnp.conj, xbar)
+
+        return ParametricOperator(f, self.params, adj_fn)
+
+
+jax.tree_util.register_pytree_node(
+    ParametricOperator,
+    lambda op: ((op.params,), (op.apply_fn, op.adjoint_fn)),
+    lambda aux, children: ParametricOperator(aux[0], children[0], aux[1]),
 )
 
 

@@ -121,7 +121,7 @@ def laplacian_1d_pallas(
         y2 = pl.pallas_call(
             kern,
             grid=(num_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (tr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),

@@ -284,3 +284,30 @@ def test_ad_svdsolve_sylvester_path():
     gd = np.asarray(jax.grad(loss_dense)(jnp.asarray(A)))
     ok = np.allclose(g, gd, atol=1e-6) or np.allclose(g, -gd, atol=1e-6)
     assert ok
+
+
+def test_parametric_operator_gradient():
+    """jax.grad through eigsolve w.r.t. operator PARAMETERS carried as pytree
+    data (plain closures cannot be differentiated through custom_vjp)."""
+    rng = np.random.default_rng(20)
+    n = 24
+    S = rng.standard_normal((n, n))
+    S = (S + S.T) / 2
+    D = jnp.asarray(rng.standard_normal(n))
+    x0 = jnp.asarray(rng.standard_normal(n))
+
+    def apply_fn(g, x):
+        return jnp.asarray(S) @ x + g * D * x
+
+    def smallest(g):
+        op = kk.ParametricOperator(apply_fn, params=g)
+        vals, vecs, info = kk.eigsolve(
+            op, x0, 1, "SR", ishermitian=True, krylovdim=24, maxiter=100, tol=1e-12
+        )
+        return vals[0]
+
+    g0 = jnp.float64(0.3)
+    dE = float(jax.grad(smallest)(g0))
+    eps = 1e-6
+    fd = (float(smallest(g0 + eps)) - float(smallest(g0 - eps))) / (2 * eps)
+    assert abs(dE - fd) < 1e-6 * max(1.0, abs(fd))
