@@ -161,7 +161,12 @@ def linsolve(
     op = as_operator(A)
     if x0 is None:
         x0 = zerovector(b)
-    tolv = _resolve_tol(b, atol, rtol, tol)
+    # an explicit algorithm object carries its own tol; only re-resolve when
+    # the caller passed tolerance keywords (or no alg at all)
+    if alg is not None and atol is None and rtol is None and tol is None:
+        tolv = None
+    else:
+        tolv = _resolve_tol(b, atol, rtol, tol)
     alg = _select_alg(
         A, a0, a1, ishermitian, isposdef, alg, tolv,
         maxiter=maxiter, krylovdim=krylovdim, orth=orth, verbosity=verbosity,

@@ -209,3 +209,21 @@ def test_alg_rrule_passthrough():
         jnp.asarray(A)
     )
     assert np.allclose(np.asarray(g), np.asarray(g2), atol=1e-7)
+
+
+def test_explicit_alg_tol_respected():
+    """An explicit algorithm object's tol must not be overridden by the
+    default tolerance resolution (regression: alg.tol was replaced by
+    max(atol_default, rtol_default*|b|), making loose user tolerances
+    unreachable in f32)."""
+    rng = np.random.default_rng(30)
+    A = rand_mat(rng, 40, 40, np.float64)
+    A = A @ A.conj().T + 10 * np.eye(40)
+    b = jnp.asarray(rand_vec(rng, 40, np.float64))
+    x, info = kk.linsolve(jnp.asarray(A), b, alg=kk.CG(tol=1e-3, maxiter=500))
+    assert int(info.converged) == 1
+    assert int(info.numiter) < 100  # loose tol -> early stop, not maxiter
+    # explicit tol keyword still wins over the alg's
+    x2, info2 = kk.linsolve(jnp.asarray(A), b, tol=1e-10,
+                            alg=kk.CG(tol=1e-3, maxiter=500))
+    assert float(info2.normres) <= 1e-9
