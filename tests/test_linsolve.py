@@ -6,6 +6,7 @@ problems (N=100 with restarts), across the scalar-type matrix, with shifts
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import krylovkit_tpu as kk
