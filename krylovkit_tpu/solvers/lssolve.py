@@ -251,6 +251,9 @@ def lssolve(
     op = as_operator(A)
     if op.adjoint is None:
         op = op.with_adjoint_from(b)
+    if tol is None and alg is not None and atol is None and rtol is None:
+        # an explicit algorithm carries its own tol (see linsolve front-end)
+        tol = alg.tol
     if tol is None:
         a_ = KrylovDefaults.tol if atol is None else atol
         r_ = KrylovDefaults.tol if rtol is None else rtol
