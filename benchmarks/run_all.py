@@ -1,0 +1,169 @@
+"""Benchmark suite over the BASELINE.json configs (one real TPU chip, f32).
+
+Prints one JSON line per config; the driver-facing headline metric stays in
+`bench.py` (config 1 at n=2M). Timing follows the bench.py methodology
+(warm-up, then back-to-back dispatch with a trailing block_until_ready —
+see CLAUDE.md "Perf facts" for why naive timing lies on this backend).
+
+Run: `timeout 1200 python benchmarks/run_all.py`
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+import krylovkit_tpu as kk
+from krylovkit_tpu.parallel import laplacian_1d, poisson_2d
+
+REPS = 3
+
+
+def timed(make_solve, x0):
+    solve = jax.jit(make_solve)
+    out = solve(x0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = solve(x0)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / REPS, out
+
+
+def report(name, value, unit, detail=""):
+    print(json.dumps({"bench": name, "value": round(value, 3), "unit": unit,
+                      "detail": detail}))
+
+
+# --- config 1: Lanczos eigsolve, 1D Laplacian (driver headline uses n=2M) ---
+def config1():
+    n = 1 << 21
+    op = laplacian_1d(n, jnp.float32)
+    alg = kk.Lanczos(krylovdim=30, maxiter=10, tol=1e-30, orth=kk.cgs)
+    from krylovkit_tpu.solvers.lanczos import eigsolve_lanczos
+
+    def solve(x0):
+        vals, vecs, info = eigsolve_lanczos(op, x0, 4, "LM", alg)
+        return vals, info.numops
+
+    x0 = jnp.ones((n // 128, 128), jnp.float32)
+    dt, (vals, numops) = timed(solve, x0)
+    ops = int(numops)
+    report("lanczos_laplacian_1d", ops * 3 * n / dt / 1e9, "Gnnz/s",
+           f"n={n}, {ops} applies in {dt*1e3:.1f} ms")
+
+
+# --- config 2: CG + restarted GMRES(30) on the 2D Poisson 5-point stencil ---
+def config2():
+    nx = ny = 1024  # 1M unknowns, nnz = 5 n
+    n = nx * ny
+    op = poisson_2d(nx, ny, jnp.float32)
+    b = jnp.ones((nx, ny), jnp.float32)
+
+    def solve_cg(b):
+        # kappa ~ 4e5 at 1024^2: a fixed 400-iteration budget measures
+        # sustained throughput; normres is reported for the record
+        x, info = kk.linsolve(op, b, ishermitian=True, isposdef=True,
+                              alg=kk.CG(tol=1e-30, maxiter=400))
+        return x, info.numops, info.normres
+
+    dt, (x, numops, nres) = timed(solve_cg, b)
+    ops = int(numops)
+    report("cg_poisson_2d", ops * 5 * n / dt / 1e9, "Gnnz/s",
+           f"{nx}x{ny}, fixed 400-iter budget in {dt*1e3:.1f} ms "
+           f"(unpreconditioned f32, kappa~4e5: residual stagnates at {float(nres):.0f})")
+
+    def solve_gmres(b):
+        x, info = kk.linsolve(op, b, alg=kk.GMRES(krylovdim=30, tol=1e-4,
+                                                  maxiter=14))
+        return x, info.numops, info.normres
+
+    dt, (x, numops, nres) = timed(solve_gmres, b)
+    ops = int(numops)
+    report("gmres30_poisson_2d", ops * 5 * n / dt / 1e9, "Gnnz/s",
+           f"{nx}x{ny}, {ops} applies in {dt*1e3:.1f} ms, normres={float(nres):.1e}")
+
+
+# --- config 3: GKL svdsolve, 8 largest triplets of a rectangular operator ---
+def config3():
+    # rectangular "term-document"-like map: banded + decaying weights,
+    # matrix-free (rows 2^20, cols 2^19), nnz/apply ~ 3 rows
+    R, C = 1 << 20, 1 << 19
+    wr = jnp.asarray(np.linspace(1.0, 3.0, C), jnp.float32)
+
+    def A(x):      # (C,) -> (R,): x upsampled with banded mixing
+        y0 = wr * x
+        y1 = 0.5 * jnp.roll(wr * x, 1)
+        return jnp.concatenate([y0, y1])
+
+    def Ah(y):     # adjoint
+        y0, y1 = y[:C], y[C:]
+        return wr * y0 + 0.5 * wr * jnp.roll(y1, -1)
+
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(R), jnp.float32)
+
+    def solve(x0):
+        S, U, V, info = kk.svdsolve((A, Ah), x0, 8, "LR",
+                                    krylovdim=30, maxiter=12, tol=1e-30)
+        return S, info.numops
+
+    dt, (S, numops) = timed(solve, x0)
+    ops = int(numops)  # counts A and Ah applications
+    report("gkl_svdsolve_rect", ops * 3 * C / dt / 1e9, "Gnnz/s",
+           f"{R}x{C}, {ops} applies in {dt*1e3:.1f} ms, S0={float(S[0]):.4f}")
+
+
+# --- config 4: real-Schur Arnoldi + expintegrator Hamiltonian step ---
+def config4():
+    n = 1 << 20
+    # non-normal transport-diffusion stencil (real Schur path on device)
+    def op(x):
+        return 2.0 * x - 1.3 * jnp.roll(x, 1, axis=0) - 0.7 * jnp.roll(x, -1, axis=0)
+
+    x0 = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n // 128, 128)), jnp.float32
+    )
+
+    def solve(x0):
+        T, vecs, (re, im), info = kk.schursolve(
+            op, x0, 4, "LM", krylovdim=30, maxiter=8, tol=1e-30)
+        return re, info.numops
+
+    dt, (re, numops) = timed(solve, x0)
+    ops = int(numops)
+    report("arnoldi_realschur_nonsym", ops * 3 * n / dt / 1e9, "Gnnz/s",
+           f"n={n}, {ops} applies in {dt*1e3:.1f} ms")
+
+    lap = laplacian_1d(n, jnp.float32)
+    # define the operator ONCE: the solver jit cache keys on the callable's
+    # identity, so a fresh lambda per call would recompile every time
+    neg_lap = lambda v: -lap.normal(v)  # noqa: E731
+
+    # exponentiate's front-end does host-side setup: call it directly (its
+    # core is jitted internally)
+    def step(x0):
+        y, info = kk.exponentiate(neg_lap, 0.1, x0, krylovdim=30, tol=1e-4,
+                                  ishermitian=True)
+        return y, info.numops
+
+    y, numops = step(x0)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        y, numops = step(x0)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / REPS
+    ops = int(numops)
+    report("exponentiate_step", ops * 3 * n / dt / 1e9, "Gnnz/s",
+           f"n={n}, {ops} applies in {dt*1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    print(f"# devices: {jax.devices()}")
+    config1()
+    config2()
+    config3()
+    config4()
