@@ -134,29 +134,49 @@ def sort_schur_real(
         Qp = Qp + jnp.where((rows == cols) & (rows >= m), 1.0, 0.0)
 
         kk = jnp.asarray(k, jnp.int32)
+        inf = jnp.asarray(jnp.inf, rdt)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (mp,), 0)
+
+        def block_meta(Tp):
+            """Vectorized per-position metadata: ``two[j]`` (j starts a 2x2),
+            ``second[j]`` (j is the trailing member), and the block sort key
+            replicated onto both members (+inf beyond the active block).
+            Computed once per PASS (the per-micro-step scalar recomputation
+            dominated the sort's latency) and updated incrementally on swaps."""
+            d = jnp.diagonal(Tp)
+            up = jnp.concatenate([jnp.diagonal(Tp, 1), jnp.zeros((1,), rdt)])
+            lo = jnp.concatenate([jnp.diagonal(Tp, -1), jnp.zeros((1,), rdt)])
+            nz = (lo != 0) & (pidx < kk - 1)
+            prev = jnp.concatenate([jnp.zeros((1,), bool), nz[:-1]])
+            two = nz & ~prev
+            second = jnp.concatenate([jnp.zeros((1,), bool), two[:-1]])
+            d_next = jnp.roll(d, -1)
+            half = (d - d_next) / 2
+            disc = half * half + up * lo
+            im = jnp.where(two, jnp.sqrt(jnp.maximum(-disc, 0.0)), 0.0)
+            re = jnp.where(two, (d + d_next) / 2, d)
+            key = which_key_ri(re, im, which)
+            key = jnp.where(second, jnp.roll(key, 1), key)  # share with partner
+            key = jnp.where(pidx < kk, key, inf)
+            return two, second, key
 
         def micro(carry, j):
-            Tp, Qp = carry
+            Tp, Qp, two, second, key, swapped = carry
 
-            def at(M, r, c):
-                row = jax.lax.dynamic_index_in_dim(M, r, 0, keepdims=False)
-                return jax.lax.dynamic_index_in_dim(row, c, 0, keepdims=False)
+            def g(v, i):
+                return jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
 
-            # j must start a block: T[j, j-1] == 0 (or j == 0)
-            prev = jnp.where(j > 0, at(Tp, j, jnp.maximum(j - 1, 0)), 0.0)
-            is_start = prev == 0.0
-            key1, p = _block_key(Tp, j, which)
+            is_start = jnp.logical_not(g(second, j))
+            p = 1 + g(two, j).astype(jnp.int32)
             n0 = j + p
-            key2, q = _block_key(Tp, n0, which)
-            # keys beyond the active block are +inf (sentinel stays trailing)
-            inf = jnp.asarray(jnp.inf, rdt)
-            key1 = jnp.where(j < kk, key1, inf)
-            key2 = jnp.where(n0 < kk, key2, inf)
+            q = 1 + g(two, n0).astype(jnp.int32)
+            key1 = g(key, j)
+            key2 = g(key, n0)
             fits = n0 + q <= kk  # whole window inside the active block
             do = is_start & fits & (key1 > key2)
 
             def do_swap(args):
-                Tp, Qp = args
+                Tp, Qp, two, second, key, swapped = args
                 W = jax.lax.dynamic_slice(Tp, (j, j), (4, 4))
                 # identity-pad the window outside p+q
                 wr = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
@@ -199,14 +219,57 @@ def sort_schur_real(
                 # only commit if the swap was numerically sound
                 Tn = jnp.where(ok, Tn, Tp)
                 Qn = jnp.where(ok, Qn, Qp)
-                return Tn, Qn
 
-            Tp, Qp = jax.lax.cond(do, do_swap, lambda a: a, (Tp, Qp))
-            return (Tp, Qp), None
+                # incremental metadata update for positions j..j+3: the blocks
+                # exchanged places (B: size q now at j, A: size p at j+q)
+                w4 = jax.lax.broadcasted_iota(jnp.int32, (4,), 0)
+                two4 = jnp.where(w4 == 0, q == 2, jnp.where(w4 == q, p == 2, False))
+                two4 = jnp.where(w4 < p + q, two4, False)
+                sec4 = jnp.where(
+                    (w4 == 1) & (q == 2), True,
+                    jnp.where((w4 == q + 1) & (p == 2), True, False),
+                )
+                key4 = jnp.where(w4 < q, key2, key1)
+                old_two = jax.lax.dynamic_slice(two, (j,), (4,))
+                old_sec = jax.lax.dynamic_slice(second, (j,), (4,))
+                old_key = jax.lax.dynamic_slice(key, (j,), (4,))
+                win = w4 < p + q
+                two_n = jax.lax.dynamic_update_slice(
+                    two, jnp.where(win & ok, two4, old_two), (j,)
+                )
+                sec_n = jax.lax.dynamic_update_slice(
+                    second, jnp.where(win & ok, sec4, old_sec), (j,)
+                )
+                key_n = jax.lax.dynamic_update_slice(
+                    key, jnp.where(win & ok, key4, old_key), (j,)
+                )
+                return Tn, Qn, two_n, sec_n, key_n, swapped | ok
 
-        def one_pass(i, carry):
-            (Tp, Qp), _ = jax.lax.scan(micro, carry, jnp.arange(m - 1))
-            return (Tp, Qp)
+            def no_swap(args):
+                return args
 
-        Tp, Qp = jax.lax.fori_loop(0, m, one_pass, (Tp, Qp))
+            Tp, Qp, two, second, key, swapped = jax.lax.cond(
+                do, do_swap, no_swap, (Tp, Qp, two, second, key, swapped)
+            )
+            return (Tp, Qp, two, second, key, swapped), None
+
+        def one_pass(carry):
+            Tp, Qp, npass, _ = carry
+            two, second, key = block_meta(Tp)
+            (Tp, Qp, _, _, _, swapped), _ = jax.lax.scan(
+                micro,
+                (Tp, Qp, two, second, key, jnp.asarray(False)),
+                jnp.arange(m - 1),
+            )
+            return Tp, Qp, npass + 1, swapped
+
+        # passes run until swap-free (restarted Krylov-Schur matrices arrive
+        # nearly sorted, so this usually exits after 1-2 passes), bounded by m
+        def pass_cond(carry):
+            _, _, npass, swapped = carry
+            return swapped & (npass < m + 1)
+
+        Tp, Qp, _, _ = jax.lax.while_loop(
+            pass_cond, one_pass, (Tp, Qp, jnp.int32(0), jnp.asarray(True))
+        )
         return Tp[:m, :m], Qp[:m, :m]
