@@ -49,7 +49,7 @@ def sort_schur(
         cdt = T.dtype
 
         def swap_at(carry, j):
-            T, Q, key = carry
+            T, Q, key, swapped = carry
             kj = jax.lax.dynamic_index_in_dim(key, j, 0, keepdims=False)
             kj1 = jax.lax.dynamic_index_in_dim(key, j + 1, 0, keepdims=False)
             do = kj > kj1
@@ -73,13 +73,22 @@ def sort_schur(
                 T, jnp.zeros((1, 1), cdt), (j + 1, j)
             )
             key = jnp.where(do, key.at[j].set(kj1).at[j + 1].set(kj), key)
-            return (T, Q, key), None
+            return (T, Q, key, swapped | do), None
 
-        def one_pass(p, carry):
-            carry, _ = jax.lax.scan(swap_at, carry, jnp.arange(m - 1))
-            return carry
+        def one_pass(carry):
+            T, Q, key, npass, _ = carry
+            (T, Q, key, swapped), _ = jax.lax.scan(
+                swap_at, (T, Q, key, jnp.asarray(False)), jnp.arange(m - 1)
+            )
+            return T, Q, key, npass + 1, swapped
 
-        T, Q, key = jax.lax.fori_loop(0, m, one_pass, (T, Q, key))
+        # early exit on the first swap-free pass (restarted Krylov-Schur
+        # matrices arrive nearly sorted); bounded by m passes
+        T, Q, key, _, _ = jax.lax.while_loop(
+            lambda c: c[4] & (c[3] < m + 1),
+            one_pass,
+            (T, Q, key, jnp.int32(0), jnp.asarray(True)),
+        )
         return T, Q, key
 
 
