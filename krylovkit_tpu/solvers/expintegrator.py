@@ -13,8 +13,10 @@ substepping.  Mirrors the reference driver ``src/matrixfun/expintegrator.jl``:
 * eager/small-residual early completion for the remaining interval (``:237-258``);
 * ``t = Inf`` fixed-point mode (``:127-135``): ``Δτ`` free-runs and the loop
   terminates at ``maxiter`` or when the inhomogeneity residual vanishes;
-* Krylov subspace per hermiticity: Lanczos or Arnoldi expansion — in this build
-  both use the same unified expansion kernel (``factorizations/krylov.py``).
+* Krylov subspace per hermiticity (``:170-175``): a ``Lanczos`` algorithm uses
+  the Hermitian 3-term/fused-CGS recurrence (one fewer basis pass per step;
+  the Rayleigh quotient is then reconstructed from H's lower triangle), an
+  ``Arnoldi`` algorithm the general expansion.
 
 Everything is one ``lax.while_loop``: the augmented exponential is evaluated on
 the static ``(krylovdim+p+1)²`` buffer with the active block embedded
@@ -269,7 +271,25 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
 
         def expand_one(c):
             fact, numops = c
-            return kf.expand(op.normal, fact, alg.orth, space), numops + 1
+            if isinstance(alg, Lanczos):
+                # Hermitian: 3-term/fused-CGS recurrence — one fewer basis
+                # pass per step than the generic expansion (the reference
+                # uses lanczosrecurrence here, src/matrixfun/expintegrator.jl:
+                # 170-175); H then carries only the LOWER triangle
+                fact = kf.expand_hermitian(
+                    op.normal, fact, alg.orth, space, verbosity=alg.verbosity
+                )
+            else:
+                fact = kf.expand(op.normal, fact, alg.orth, space)
+            return fact, numops + 1
+
+        def _Heff(H):
+            # Hermitian path: reconstruct the Rayleigh quotient from the
+            # lower triangle (expand_hermitian writes only (alpha, beta))
+            if isinstance(alg, Lanczos):
+                L = jnp.tril(H)
+                return L + jnp.tril(H, -1).conj().T
+            return H
 
         can = jnp.logical_and(fact.k < m, fact.beta > 0)
         fact, numops = jax.lax.cond(can, expand_one, lambda c: c, (fact, numops))
@@ -296,7 +316,7 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
 
             def trial(dt):
                 return _phi_step(
-                    fact.H, fact.k, p, sgn * dt.astype(cdt), st.beta, fact.beta,
+                    _Heff(fact.H), fact.k, p, sgn * dt.astype(cdt), st.beta, fact.beta,
                     m1p, eta,
                 )
 
@@ -346,7 +366,7 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
 
             def attempt(st):
                 expH, eps_, omega = _phi_step(
-                    fact.H, fact.k, p, sgn * dt.astype(cdt), st.beta, fact.beta,
+                    _Heff(fact.H), fact.k, p, sgn * dt.astype(cdt), st.beta, fact.beta,
                     m1p, eta,
                 )
                 ok = omega < 1.0
