@@ -58,14 +58,34 @@ def log_if(verbosity: int, level: int, fmt: str, **kw):
 
 def warn_if(verbosity: int, cond, fmt: str, **kw):
     """Conditional warning (reference ``@warn``): printed only when the traced
-    condition holds at runtime and the static verbosity is ≥ WARN."""
+    condition holds at runtime and the static verbosity is ≥ WARN.
+
+    Implemented as a host callback that tests ``cond`` host-side rather than
+    ``lax.cond``-of-``debug.print``: under ``vmap`` a ``cond`` lowers to
+    ``select`` (both branches execute), which would print spurious warnings
+    for converged batch elements."""
     if verbosity >= WARN and _callbacks_supported():
-        jax.lax.cond(
-            cond,
-            lambda kw_: jax.debug.print(fmt, **kw_),
-            lambda kw_: None,
-            kw,
-        )
+
+        def _cb(cond_, kw_):
+            import numpy as np
+
+            c = np.asarray(cond_)
+            if c.ndim == 0:
+                if c:
+                    print(fmt.format(**kw_))
+            else:  # batched (vmapped) solve: one line per offending element
+                for i in np.flatnonzero(c.reshape(-1)):
+                    print(
+                        fmt.format(
+                            **{
+                                k: (np.asarray(v).reshape(c.shape + (-1,))[i]
+                                    if np.asarray(v).size > 1 else v)
+                                for k, v in kw_.items()
+                            }
+                        )
+                    )
+
+        jax.debug.callback(_cb, cond, kw)
 
 
 class ConvergenceInfo(NamedTuple):
