@@ -80,9 +80,47 @@ class _KrylovIterator:
 @dataclasses.dataclass(frozen=True)
 class LanczosIterator(_KrylovIterator):
     """Hermitian 3-term recurrence + drift sweep (reference
-    ``src/factorizations/lanczos.jl``)."""
+    ``src/factorizations/lanczos.jl``).
+
+    With ``keepvecs=False`` the iterator runs the pure 3-term recurrence with
+    O(1) vector storage — no stored basis, only the rolling ``(v_{k-1}, v_k)``
+    pair (reference ``src/factorizations/lanczos.jl:133-144``).  Like the
+    reference (``:137-141``) this is rejected for reorthogonalizing
+    strategies, which need the full basis.
+    """
 
     hermitian_expand: bool = True
+    keepvecs: bool = True
+
+    def __post_init__(self):
+        if not self.keepvecs and not isinstance(
+            self.orth, (on.ClassicalGramSchmidt, on.ModifiedGramSchmidt)
+        ):
+            raise ValueError(
+                "keepvecs=False requires a non-reorthogonalizing strategy "
+                "(cgs or mgs) — reference src/factorizations/lanczos.jl:137-141"
+            )
+
+    def initialize(self):
+        if self.keepvecs:
+            return super().initialize()
+        op = as_operator(self.op)
+        cdt = scalartype(jax.eval_shape(op.normal, self.x0), self.x0)
+        return kf.initialize_3term(self.x0, self.krylovdim, cdt, self.space)
+
+    def expand(self, state):
+        if self.keepvecs:
+            return super().expand(state)
+        op = as_operator(self.op)
+        return kf.expand_3term(op.normal, state, self.space)
+
+    def shrink(self, state, k):
+        if self.keepvecs:
+            return super().shrink(state, k)
+        raise ValueError(
+            "cannot shrink a keepvecs=False factorization (no stored basis) — "
+            "reference src/factorizations/lanczos.jl:273-291"
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,6 +244,8 @@ def residual(state):
         return bs.get(state.U, state.k)
     if isinstance(state, bf.BlockLanczosState):
         return state.X
+    if isinstance(state, kf.Lanczos3State):
+        return state.v_cur
     return bs.get(state.V, state.k)
 
 

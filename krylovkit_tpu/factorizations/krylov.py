@@ -37,10 +37,13 @@ PyTree = Any
 
 __all__ = [
     "KrylovState",
+    "Lanczos3State",
     "initialize",
+    "initialize_3term",
     "expand",
     "expand_hermitian",
     "expand_hermitian_selective",
+    "expand_3term",
 ]
 
 
@@ -190,6 +193,71 @@ def expand_hermitian(
         H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
     )
     return KrylovState(V, H, k + 1, beta)
+
+
+class Lanczos3State(NamedTuple):
+    """O(1)-vector-memory pure 3-term Lanczos state (``keepvecs=false``).
+
+    The reference's ``keepvecs=false`` mode drops old basis vectors and keeps
+    only the rolling pair ``(v_{k-1}, v_k)`` (``src/factorizations/
+    lanczos.jl:133-144``); it is only legal without reorthogonalization
+    (guarded at ``lanczos.jl:137-141``).  The tridiagonal coefficients are
+    still accumulated in the small ``(m+1, m+1)`` buffer ``H`` so the
+    projected problem and the ``rayleighquotient`` accessor work unchanged.
+    """
+
+    v_prev: PyTree  # v_{k-1}
+    v_cur: PyTree  # v_k (the residual direction)
+    H: jax.Array  # (m+1, m+1) projected-matrix buffer (tridiagonal)
+    k: jax.Array  # completed steps, int32
+    beta: jax.Array  # ‖residual‖ of the last step
+
+
+def initialize_3term(
+    x0: PyTree, m: int, coeff_dtype, space: VectorSpace = STANDARD
+) -> Lanczos3State:
+    """``v_0 = x0/‖x0‖`` with no stored basis (reference ``keepvecs=false``
+    initialize, ``src/factorizations/lanczos.jl:184-207``)."""
+    nrm = space.norm(x0)
+    v0 = jax.tree_util.tree_map(lambda l: l / nrm.astype(l.dtype), x0)
+    H = jnp.zeros((m + 1, m + 1), dtype=coeff_dtype)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, v0)
+    return Lanczos3State(
+        zero, v0, H, jnp.int32(0), jnp.ones((), jnp.finfo(coeff_dtype).dtype)
+    )
+
+
+def expand_3term(
+    op_apply, state: Lanczos3State, space: VectorSpace = STANDARD
+) -> Lanczos3State:
+    """One pure 3-term step: ``w = A v_k − β_{k-1} v_{k-1} − α_k v_k`` with NO
+    reorthogonalization — O(1) vector storage (reference ``lanczosrecurrence``
+    for plain cgs/mgs, ``src/factorizations/lanczos.jl:295-328``)."""
+    v_prev, v_cur, H, k, beta_prev = state
+    m1 = H.shape[0]
+    w = op_apply(v_cur)
+    bcoef = jnp.where(k > 0, beta_prev, 0)
+    w = jax.tree_util.tree_map(
+        lambda lw, lv: lw - bcoef.astype(lw.dtype) * lv, w, v_prev
+    )
+    alpha = space.inner(v_cur, w)
+    w = jax.tree_util.tree_map(
+        lambda lw, lv: lw - alpha.astype(lw.dtype) * lv, w, v_cur
+    )
+    beta = space.norm(w)
+    safe = jnp.where(beta > 0, beta, 1).astype(beta.dtype)
+    v_new = jax.tree_util.tree_map(
+        lambda l: jnp.where(beta > 0, l / safe, 0 * l), w
+    )
+    # lower-triangle convention (as expand_hermitian): α at [k, k], β at
+    # [k+1, k]; the Hermitian Rayleigh quotient is tril(H) + tril(H,-1)ᴴ
+    col = alpha.astype(H.dtype) * jax.nn.one_hot(
+        k, m1, dtype=H.dtype
+    ) + beta.astype(H.dtype) * jax.nn.one_hot(k + 1, m1, dtype=H.dtype)
+    H = jax.lax.dynamic_update_slice(
+        H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
+    )
+    return Lanczos3State(v_cur, v_new, H, k + 1, beta)
 
 
 def expand_hermitian_selective(

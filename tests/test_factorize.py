@@ -110,3 +110,52 @@ def test_blocklanczos_iterator():
     k = int(st.k)
     V = np.asarray(st.V)
     assert np.allclose(V[:k].conj() @ V[:k].T, np.eye(k), atol=1e-10)
+
+
+def test_lanczos_keepvecs_false_3term():
+    """keepvecs=False: O(1)-vector pure 3-term mode reproduces the tridiagonal
+    coefficients of the full-basis iterator (reference keepvecs=false mode,
+    src/factorizations/lanczos.jl:133-144)."""
+    rng = np.random.default_rng(83)
+    A = hermitize(rand_mat(rng, n, n, np.float64))
+    x0 = rand_vec(rng, n, np.float64)
+    it3 = kk.LanczosIterator(
+        jnp.asarray(A), jnp.asarray(x0), krylovdim=10, orth=kk.cgs, keepvecs=False
+    )
+    itf = kk.LanczosIterator(
+        jnp.asarray(A), jnp.asarray(x0), krylovdim=10, orth=kk.cgs
+    )
+    s3, sf = it3.initialize(), itf.initialize()
+    # the 3-term state stores NO basis — only the rolling (v_prev, v_cur) pair
+    assert not hasattr(s3, "V")
+    for _ in range(8):
+        s3, sf = it3.expand(s3), itf.expand(sf)
+    H3 = np.asarray(s3.H)
+    Hf = np.asarray(sf.H)
+    T3 = np.tril(H3) + np.tril(H3, -1).T
+    Tf = np.tril(Hf) + np.tril(Hf, -1).T
+    # drift-free in exact arithmetic at modest k; f64 agreement to ~1e-8
+    assert np.allclose(T3[:8, :8], Tf[:8, :8], atol=1e-8)
+    # rayleighquotient/residual/normres accessors work on the 3-term state
+    from krylovkit_tpu.factorizations import iterators as its
+
+    assert its.rayleighquotient(s3).shape == H3.shape
+    r = np.asarray(its.residual(s3))
+    assert np.isclose(np.linalg.norm(r), 1.0, atol=1e-12)
+
+
+def test_lanczos_keepvecs_false_rejects_reorth():
+    rng = np.random.default_rng(84)
+    A = hermitize(rand_mat(rng, n, n, np.float64))
+    with pytest.raises(ValueError, match="keepvecs"):
+        kk.LanczosIterator(
+            jnp.asarray(A), jnp.asarray(rand_vec(rng, n, np.float64)),
+            keepvecs=False, orth=kk.cgs2,
+        )
+    it = kk.LanczosIterator(
+        jnp.asarray(A), jnp.asarray(rand_vec(rng, n, np.float64)),
+        keepvecs=False, orth=kk.cgs,
+    )
+    st = it.initialize()
+    with pytest.raises(ValueError, match="shrink"):
+        it.shrink(st, 2)
