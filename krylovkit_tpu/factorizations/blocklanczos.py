@@ -137,6 +137,7 @@ def expand(
     state: BlockLanczosState,
     qr_tol,
     space: VectorSpace = STANDARD,
+    verbosity: int = 0,
 ) -> BlockLanczosState:
     """One block step: commit ``X`` at ``[k, k+b)``, apply ``A`` to the block,
     orthogonalize against the (committed + current) basis, rank-revealing QR →
@@ -185,4 +186,11 @@ def expand(
         H, C.conj().T.astype(H.dtype), (ki, jnp.asarray(kr, jnp.int32))
     )
     beta = jnp.sqrt(jnp.maximum(jnp.sum(jnp.abs(C) ** 2), 0)).astype(state.beta.dtype)
+    from ..info import EACHITERATION, log_if
+
+    log_if(
+        verbosity, EACHITERATION + 1,
+        "BlockLanczos expansion to dimension {k}: subspace normres = {b}",
+        k=kr, b=beta,
+    )
     return BlockLanczosState(V=V, H=H, X=Q, r=rnew, k=kr, beta=beta)

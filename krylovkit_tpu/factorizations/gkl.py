@@ -78,6 +78,7 @@ def expand(
     state: GKLState,
     orth: on.Orthogonalizer,
     space: VectorSpace = STANDARD,
+    verbosity: int = 0,
 ) -> GKLState:
     """One GKL step (two operator applies): ``w = Aᴴ u_k`` → orthonormalize
     against V → ``(α, v_k)``; ``s = A v_k`` → orthonormalize against U →
@@ -105,4 +106,13 @@ def expand(
         k, m1, dtype=B.dtype
     )
     B = jax.lax.dynamic_update_slice(B, row[None, :], (ki, jnp.int32(0)))
+    from ..info import EACHITERATION, log_if
+
+    # per-expansion message at EACHITERATION+1 (reference
+    # src/factorizations/gkl.jl:266-268)
+    log_if(
+        verbosity, EACHITERATION + 1,
+        "GKL expansion to dimension {k}: subspace normres = {b}",
+        k=k + 1, b=beta,
+    )
     return GKLState(U, V, B, k + 1, beta)

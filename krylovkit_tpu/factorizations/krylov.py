@@ -81,6 +81,7 @@ def expand(
     state: KrylovState,
     orth: on.Orthogonalizer,
     space: VectorSpace = STANDARD,
+    verbosity: int = 0,
 ) -> KrylovState:
     """One Krylov step: ``w = A V[k]``; orthonormalize against ``V[0..k]``;
     append.  (reference ``expand!`` + recurrence,
@@ -94,6 +95,15 @@ def expand(
     )
     H = jax.lax.dynamic_update_slice(
         H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
+    )
+    from ..info import EACHITERATION, log_if
+
+    # per-expansion message at EACHITERATION+1 (reference
+    # src/factorizations/arnoldi.jl / lanczos.jl:268-270)
+    log_if(
+        verbosity, EACHITERATION + 1,
+        "Krylov expansion to dimension {k}: subspace normres = {b}",
+        k=k + 1, b=beta,
     )
     return KrylovState(V, H, k + 1, beta)
 
@@ -143,6 +153,13 @@ def expand_hermitian(
         H = jax.lax.dynamic_update_slice(
             H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
         )
+        from ..info import EACHITERATION, log_if
+
+        log_if(
+            verbosity, EACHITERATION + 1,
+            "Lanczos expansion to dimension {k}: subspace normres = {b}",
+            k=k + 1, b=beta,
+        )
         return KrylovState(V, H, k + 1, beta)
     km1 = jnp.maximum(k - 1, 0)
     vkm1 = bs.get(V, km1)
@@ -191,6 +208,13 @@ def expand_hermitian(
     col = colold * (1 - mask) + col
     H = jax.lax.dynamic_update_slice(
         H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
+    )
+    from ..info import EACHITERATION, log_if
+
+    log_if(
+        verbosity, EACHITERATION + 1,
+        "Lanczos expansion to dimension {k}: subspace normres = {b}",
+        k=k + 1, b=beta,
     )
     return KrylovState(V, H, k + 1, beta)
 

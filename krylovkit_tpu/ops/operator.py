@@ -216,6 +216,40 @@ def apply_shifted(op: LinearOperator, x: PyTree, a0, a1) -> PyTree:
     return jax.tree_util.tree_map(lambda lx, la: a0 * lx + a1 * la, x, ax)
 
 
+def check_adjoint_compatibility(op: LinearOperator, x0: PyTree, space=None) -> None:
+    """Adjoint-consistency guard for user-supplied ``(f, fadjoint)`` pairs.
+
+    Mirrors the reference's GKL-initialization check
+    (``src/factorizations/gkl.jl:188-192``): with ``β₀ = ‖u₀‖``,
+    ``α = ‖Aᴴu₀‖/β₀`` and ``α² = ⟨u₀, A(Aᴴu₀)⟩/β₀²`` must agree — otherwise
+    the pair is not an operator and its adjoint and GKL/LSMR silently return
+    wrong answers.  Host-side check: skipped for traced inputs (can't raise
+    inside jit; the reference's check is also an eager value check).
+    """
+    leaves = jax.tree_util.tree_leaves(x0)
+    if any(isinstance(l, jax.core.Tracer) for l in leaves):
+        return
+    from .vector import STANDARD, inner, norm
+
+    space = space or STANDARD
+    b0 = norm(x0, space)
+    if float(b0) == 0.0:
+        raise ValueError("initial vector should not have norm zero")
+    v = op.apply_adjoint(x0)
+    alpha = norm(v, space) / b0
+    Av = op.normal(v)
+    alpha2 = inner(x0, Av, space) / (b0 * b0)
+    a2 = complex(jnp.asarray(alpha2, jnp.complex128))
+    aa = float(alpha) ** 2
+    rdt = jnp.finfo(jnp.result_type(*(l.dtype for l in leaves))).eps
+    if abs(a2 - aa) > (rdt ** 0.5) * max(abs(a2), aa, 1e-30):
+        raise ValueError(
+            f"operator and its adjoint are not compatible: <u0, A A^H u0>/|u0|^2 "
+            f"= {a2} but |A^H u0|^2/|u0|^2 = {aa} "
+            "(reference src/factorizations/gkl.jl:192)"
+        )
+
+
 def probe_dtype(op: LinearOperator, x0: PyTree):
     """Scalar type of the problem from one (abstract) operator application —
     the reference's ``apply_scalartype`` (``src/apply.jl:26-36``).  Uses

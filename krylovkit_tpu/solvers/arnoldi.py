@@ -152,7 +152,7 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
 
     def expand_one(c):
         fact, numops = c
-        return kf.expand(op.normal, fact, alg.orth, space), numops + 1
+        return kf.expand(op.normal, fact, alg.orth, space, alg.verbosity), numops + 1
 
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops

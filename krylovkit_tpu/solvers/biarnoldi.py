@@ -121,8 +121,8 @@ def bieigsolve_driver(
 
     def expand_one(c):
         fV, fW, M, numops = c
-        fV = kf.expand(op.normal, fV, alg.orth, space)
-        fW = kf.expand(op.apply_adjoint, fW, alg.orth, space)
+        fV = kf.expand(op.normal, fV, alg.orth, space, alg.verbosity)
+        fW = kf.expand(op.apply_adjoint, fW, alg.orth, space, alg.verbosity)
         M = _update_M(M, fV.V, fW.V, fV.k, space)
         return fV, fW, M, numops + 2
 

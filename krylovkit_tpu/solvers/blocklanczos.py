@@ -89,7 +89,7 @@ def eigsolve_blocklanczos(
     def expand_one(c):
         fact, numops = c
         return (
-            bf.expand(op.normal, fact, qr_tol, space),
+            bf.expand(op.normal, fact, qr_tol, space, alg.verbosity),
             numops + b,  # one batched apply = b operator applications
         )
 

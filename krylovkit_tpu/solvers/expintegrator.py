@@ -280,7 +280,7 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
                     op.normal, fact, alg.orth, space, verbosity=alg.verbosity
                 )
             else:
-                fact = kf.expand(op.normal, fact, alg.orth, space)
+                fact = kf.expand(op.normal, fact, alg.orth, space, alg.verbosity)
             return fact, numops + 1
 
         def _Heff(H):

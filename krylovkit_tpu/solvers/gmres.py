@@ -88,7 +88,7 @@ def linsolve_gmres(
         return jnp.logical_and(k < m, resk > tol)
 
     def cycle_body(c: _Cycle) -> _Cycle:
-        fact = kf.expand(op.normal, c.fact, alg.orth, space)
+        fact = kf.expand(op.normal, c.fact, alg.orth, space, alg.verbosity)
         k = c.fact.k  # column index just produced
         h = jax.lax.dynamic_slice(
             fact.H, (jnp.int32(0), jnp.asarray(k, jnp.int32)), (m + 1, 1)

@@ -68,8 +68,16 @@ def _process(H, k, beta, which, tol, howmany):
     return nconv.astype(jnp.int32), w, U, res
 
 
-def _restart(fact: kf.KrylovState, vals, U, beta, keep):
-    """Thick restart to an arrowhead factorization of size ``keep``."""
+def _restart(fact: kf.KrylovState, vals, U, beta, keep, keep_max: int, gate=None):
+    """Thick restart to an arrowhead factorization of size ``keep``.
+
+    With ``gate`` (a traced bool), the restart is MASKED rather than wrapped
+    in ``lax.cond``: when ``gate`` is false the rotation matrix degenerates to
+    the identity (bit-exact on the basis: 1·x + Σ 0·x = x) and ``H``/``k``
+    keep their old values.  This keeps the big basis buffer out of a cond —
+    branch outputs force defensive copies of the 250 MB buffer — at the cost
+    of one (always-run) streaming transform on the final iteration only.
+    """
     V, H, k, _ = fact
     m1 = H.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
@@ -79,7 +87,13 @@ def _restart(fact: kf.KrylovState, vals, U, beta, keep):
     Ukeep = Ukeep + jax.nn.one_hot(k, m1, dtype=U.dtype)[:, None] * jax.nn.one_hot(
         keep, m1, dtype=U.dtype
     )[None, :]
-    Vnew = bs.transform(V, Ukeep)
+    if gate is not None:
+        eye = jnp.eye(m1, dtype=U.dtype)
+        Ukeep = jnp.where(gate, Ukeep, eye)
+    # only rows < keep+1 survive (kept Ritz vectors + relocated residual);
+    # keep_max+1 is the static bound — tail rows become garbage, which every
+    # consumer masks (see bs.transform_partial)
+    Vnew = bs.transform_partial(V, Ukeep, keep_max + 1)
     # arrowhead H: diag(θ) + spike row s[j] = β·conj(U[k-1, j])
     lastrow = jax.lax.dynamic_index_in_dim(U, jnp.maximum(k - 1, 0), 0, keepdims=False)
     s = (beta * jnp.conj(lastrow)).astype(H.dtype)
@@ -93,7 +107,11 @@ def _restart(fact: kf.KrylovState, vals, U, beta, keep):
     Hnew = Hnew + jax.nn.one_hot(keep, m1, dtype=H.dtype)[None, :] * jnp.conj(
         spike
     )[:, None]
-    return kf.KrylovState(Vnew, Hnew, keep.astype(jnp.int32), beta)
+    k_new = keep.astype(jnp.int32)
+    if gate is not None:
+        Hnew = jnp.where(gate, Hnew, H)
+        k_new = jnp.where(gate, k_new, jnp.asarray(k, jnp.int32))
+    return kf.KrylovState(Vnew, Hnew, k_new, beta)
 
 
 def eigsolve_lanczos(
@@ -144,19 +162,6 @@ def eigsolve_lanczos(
             "omega-recurrence state does not persist across eager processings)"
         )
 
-    def expand_one(c, force_sweep=False):
-        fact, numops, om, omp = c
-        if selective:
-            fact, om, omp, _ = kf.expand_hermitian_selective(
-                op.normal, fact, om, omp, alg.orth, space,
-                force_sweep=force_sweep,
-            )
-        else:
-            fact = kf.expand_hermitian(
-                op.normal, fact, alg.orth, space, verbosity=alg.verbosity
-            )
-        return fact, numops + 1, om, omp
-
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops
         # ω-recurrence state for selective reorthogonalization; reset to the
@@ -165,25 +170,36 @@ def eigsolve_lanczos(
         om0 = jnp.full((m + 1,), eps_r, rdt)
         omp0 = jnp.full((m + 1,), eps_r, rdt)
 
-        # --- inner expansion loop (do-while: ≥1 expansion if possible) ---
+        def expand_one(c):
+            fact, numops, om, omp, j = c
+            if selective:
+                # first expansion after a restart: force the drift sweep
+                force = jnp.logical_and(j == 0, st.numiter > 0)
+                fact, om, omp, _ = kf.expand_hermitian_selective(
+                    op.normal, fact, om, omp, alg.orth, space,
+                    force_sweep=force,
+                )
+            else:
+                fact = kf.expand_hermitian(
+                    op.normal, fact, alg.orth, space, verbosity=alg.verbosity
+                )
+            return fact, numops + 1, om, omp, j + 1
+
+        # --- inner expansion loop (do-while: ≥1 expansion if possible).
+        # A single while_loop — no leading lax.cond, whose branch outputs
+        # would defensively copy the basis buffer every outer iteration.
         def inner_cond(c):
-            fact, numops, om, omp = c
+            fact, numops, om, omp, j = c
             go = jnp.logical_and(fact.k < m, fact.beta > btol)
             if alg.eager:
-                go = jnp.logical_and(go, fact.k < max(howmany, 1))
+                # eager: ≥1 expansion per processing, then process early
+                go = jnp.logical_and(
+                    go, jnp.logical_or(j == 0, fact.k < max(howmany, 1))
+                )
             return go
 
-        can_expand = jnp.logical_and(fact.k < m, fact.beta > btol)
-        # first expansion of the cycle: force the drift sweep after a restart
-        force_first = st.numiter > 0
-        fact, numops, om, omp = jax.lax.cond(
-            can_expand,
-            lambda c: expand_one(c, force_sweep=force_first),
-            lambda c: c,
-            (fact, numops, om0, omp0),
-        )
-        fact, numops, om, omp = jax.lax.while_loop(
-            inner_cond, expand_one, (fact, numops, om, omp)
+        fact, numops, om, omp, _ = jax.lax.while_loop(
+            inner_cond, expand_one, (fact, numops, om0, omp0, jnp.int32(0))
         )
 
         # --- process projected problem ---
@@ -202,17 +218,27 @@ def eigsolve_lanczos(
         # --- thick restart (skipped when done) ---
         keep_raw = (3 * m + 2 * nconv) // 5
         keep = jnp.clip(keep_raw, 1, jnp.maximum(fact.k - 1, 1))
-
-        def do_restart(args):
-            fact, vals, U = args
-            return _restart(fact, vals, U, fact.beta, keep)
+        # static bound on keep: restart implies nconv < howmany and k == m
+        keep_max = min((3 * m + 2 * max(howmany - 1, 0)) // 5, m - 1)
 
         # restart only when the subspace is full (eager processing at k < m
         # must keep expanding, reference src/eigsolve/lanczos.jl:80-116)
         restart_now = jnp.logical_and(jnp.logical_not(done), fact.k >= m)
-        fact = jax.lax.cond(
-            restart_now, do_restart, lambda a: a[0], (fact, vals, U)
-        )
+        if alg.eager:
+            # eager processes every step — a masked always-run transform would
+            # add a basis pass per expansion, so keep the cond here
+            fact = jax.lax.cond(
+                restart_now,
+                lambda a: _restart(a[0], a[1], a[2], a[0].beta, keep, keep_max),
+                lambda a: a[0],
+                (fact, vals, U),
+            )
+        else:
+            # non-eager: every processing but the last restarts — run the
+            # masked (gated) restart unconditionally, avoiding cond copies
+            fact = _restart(
+                fact, vals, U, fact.beta, keep, keep_max, gate=restart_now
+            )
         log_if(
             alg.verbosity, EACHITERATION,
             "Lanczos eigsolve in iteration {it}: {nc} values converged, "
@@ -232,14 +258,16 @@ def eigsolve_lanczos(
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
     Umask = jnp.where((rows < fact.k) & (cols < howmany), st.U, 0)
-    Vr = bs.transform(fact.V, Umask)  # Ritz vectors in slots [0, howmany)
+    # read V[k] BEFORE the rotation: transform_partial aliases the basis
+    # buffer in place, so reading it first lets XLA skip a defensive copy
+    vk = bs.get(fact.V, fact.k)
+    Vr = bs.transform_partial(fact.V, Umask, howmany)
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vr)
     # residual vectors r_i = β·U[k-1,i] · V[k]  (reference src/eigsolve/lanczos.jl:127-133)
     lastrow = jax.lax.dynamic_index_in_dim(
         st.U, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
-    vk = bs.get(fact.V, fact.k)
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )

@@ -30,7 +30,7 @@ from ..algorithms import LSMR, KrylovDefaults
 from ..info import ConvergenceInfo, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
 from ..ops import orthonormal as on
-from ..ops.operator import as_operator
+from ..ops.operator import LinearOperator, as_operator
 from ..ops.vector import REAL, STANDARD, VectorSpace, add, scale, scalartype, zerovector
 
 PyTree = Any
@@ -251,6 +251,12 @@ def lssolve(
     op = as_operator(A)
     if op.adjoint is None:
         op = op.with_adjoint_from(b)
+    elif type(op) is LinearOperator:
+        # user-supplied (f, fadjoint): GKL adjoint-consistency guard
+        # (reference src/factorizations/gkl.jl:192) — eager inputs only
+        from ..ops.operator import check_adjoint_compatibility
+
+        check_adjoint_compatibility(op, b, space)
     if tol is None and alg is not None and atol is None and rtol is None:
         # an explicit algorithm carries its own tol (see linsolve front-end)
         tol = alg.tol

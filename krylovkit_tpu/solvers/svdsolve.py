@@ -29,7 +29,7 @@ from ..algorithms import GKL, KrylovDefaults
 from ..factorizations import gkl as gf
 from ..info import ConvergenceInfo, EACHITERATION, STARTSTOP, log_if, warn_if
 from ..ops import basis as bs
-from ..ops.operator import as_operator, probe_dtype
+from ..ops.operator import LinearOperator, as_operator, probe_dtype
 from ..ops.vector import REAL, STANDARD, VectorSpace
 
 PyTree = Any
@@ -139,7 +139,7 @@ def svdsolve_gkl(
 
     def expand_one(c):
         fact, numops = c
-        return gf.expand(op, fact, alg.orth, space), numops + 2
+        return gf.expand(op, fact, alg.orth, space, alg.verbosity), numops + 2
 
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops
@@ -266,6 +266,13 @@ def svdsolve(
         # bare callable: derive the adjoint by linear transposition; the domain
         # template is unknown, so this requires a square map (domain ≅ codomain)
         op = op.with_adjoint_from(x0)
+    elif type(op) is LinearOperator:
+        # user-supplied (f, fadjoint) pair: consistency guard at init
+        # (reference src/factorizations/gkl.jl:192); derived/matrix adjoints
+        # are exact by construction and skip the two probe applies
+        from ..ops.operator import check_adjoint_compatibility
+
+        check_adjoint_compatibility(op, x0)
     # Cap the Krylov dimension at the (static) domain dimension: beyond it the
     # domain sweep breaks down (α → 0) with nothing left to find.  The codomain
     # side needs no cap — β → 0 there is caught by the breakdown guard.

@@ -122,3 +122,27 @@ def test_exponentiate_t_zero():
     v = rand_vec(rng, n, np.float64)
     y, info = kk.exponentiate(A, 0.0, jnp.asarray(v), tol=1e-12, krylovdim=n)
     assert np.allclose(np.asarray(y), v)
+
+
+def test_exponentiate_numops_reference_parity():
+    """Exact numops parity with the reference's counting (hand-derived from
+    src/matrixfun/expintegrator.jl:110,151,176,287,291,318): 1 probe apply
+    (reused as w[2]) + 1 initialize + (krylovdim-1) expansions per cycle, and
+    +2 per substep restart (p=1: one w rebuild + one re-initialize)."""
+    rng = np.random.default_rng(77)
+    A = rng.standard_normal((40, 40))
+    A = A + A.T
+    v = rng.standard_normal(40)
+    # single substep: 1 + 1 + 19 = 21 applies, numiter = 1
+    w, info = kk.exponentiate(
+        jnp.asarray(A), 0.01, jnp.asarray(v), krylovdim=20, tol=1e-12,
+        ishermitian=True,
+    )
+    assert int(info.numops) == 21
+    assert int(info.numiter) == 1
+    # multi-substep: first cycle 11 applies, each later cycle 2 + 9 = 11
+    w2, info2 = kk.exponentiate(
+        jnp.asarray(A), 1.0, jnp.asarray(v), krylovdim=10, tol=1e-10,
+        maxiter=30, ishermitian=True,
+    )
+    assert int(info2.numops) == 11 * int(info2.numiter)

@@ -101,3 +101,23 @@ def test_svd_default_x0_and_which_validation():
     assert np.allclose(np.asarray(vals), want, atol=1e-8)
     with pytest.raises(ValueError):
         kk.svdsolve(A, howmany=1, which="LM")
+
+
+def test_gkl_adjoint_compatibility_check():
+    """Inconsistent (f, fadjoint) pairs must be rejected at init (reference
+    src/factorizations/gkl.jl:192)."""
+    rng = np.random.default_rng(300)
+    A = jnp.asarray(rng.standard_normal((20, 20)))
+    B = jnp.asarray(rng.standard_normal((20, 20)))  # NOT A's adjoint
+    x0 = jnp.asarray(rng.standard_normal(20))
+    with pytest.raises(ValueError, match="not compatible"):
+        kk.svdsolve((lambda x: A @ x, lambda y: B.T @ y), x0, 2, "LR")
+    with pytest.raises(ValueError, match="not compatible"):
+        kk.lssolve((lambda x: A @ x, lambda y: B.T @ y), x0)
+    # a CONSISTENT pair passes the guard and solves
+    s, _, _, info = kk.svdsolve(
+        (lambda x: A @ x, lambda y: A.T @ y), x0, 2, "LR", tol=1e-10
+    )
+    assert np.allclose(
+        np.asarray(s), np.linalg.svd(np.asarray(A), compute_uv=False)[:2], atol=1e-8
+    )

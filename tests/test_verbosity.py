@@ -72,3 +72,55 @@ def test_gmres_startstop():
 
     out = _capture(run)
     assert "GMRES linsolve finished" in out
+
+
+def test_exact_log_counts_per_level():
+    """Exact event-count contract (reference @test_logs, test/eigsolve.jl:15-60):
+    the NUMBER of log lines per level is specified behavior, not incidental."""
+    # full problem (krylovdim = n): converges/breaks down in exactly 1 iteration
+    for verbosity, want_lines in ((SILENT, 0), (WARN, 0), (STARTSTOP, 1)):
+        out = _capture(lambda v=verbosity: _solve(v))
+        assert len([l for l in out.splitlines() if l.strip()]) == want_lines, (
+            verbosity, out)
+    # EACHITERATION on the full problem: 1 per-iteration line + 1 finished line
+    out = _capture(lambda: _solve(EACHITERATION))
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert sum("in iteration" in l for l in lines) == 1, out
+    assert sum("finished" in l for l in lines) == 1, out
+    assert len(lines) == 2, out
+
+
+def test_per_expansion_log_level():
+    """EACHITERATION+1 logs one message per subspace expansion inside the
+    iterator (reference src/factorizations/lanczos.jl:268-270)."""
+    vals_info = {}
+
+    def run():
+        vals, vecs, info = _solve(EACHITERATION + 1)
+        vals_info["numops"] = int(info.numops)
+        return vals
+
+    out = _capture(run)
+    nexp = sum("Lanczos expansion to dimension" in l for l in out.splitlines())
+    # one apply per expansion in the Lanczos driver
+    assert nexp == vals_info["numops"], (nexp, vals_info, out)
+
+
+def test_per_expansion_log_level_gmres():
+    rng = np.random.default_rng(93)
+    A = rand_mat(rng, n, n, np.float64) + 2 * np.eye(n)
+    b = rand_vec(rng, n, np.float64)
+    info_box = {}
+
+    def run():
+        x, info = kk.linsolve(
+            A, b, alg=kk.GMRES(tol=1e-10, krylovdim=n, maxiter=10,
+                               verbosity=EACHITERATION + 1)
+        )
+        info_box["numops"] = int(info.numops)
+        return x
+
+    out = _capture(run)
+    nexp = sum("Krylov expansion to dimension" in l for l in out.splitlines())
+    # GMRES: numops = 1 initial residual apply + 1 per expansion (+1 verify)
+    assert nexp >= 1 and nexp <= info_box["numops"], (nexp, info_box, out)
