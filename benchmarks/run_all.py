@@ -90,20 +90,26 @@ def config2():
 # --- config 3: GKL svdsolve, 8 largest triplets of a rectangular operator ---
 def config3():
     # rectangular "term-document"-like map: banded + decaying weights,
-    # matrix-free (rows 2^20, cols 2^19), nnz/apply ~ 3 rows
+    # matrix-free (rows 2^20, cols 2^19), nnz/apply ~ 3 rows.  Vectors are
+    # tile-aligned (rows, 128) — the layout the library prescribes (flat (n,)
+    # puts the basis index in the tile sublane dim; see CLAUDE.md perf facts)
     R, C = 1 << 20, 1 << 19
-    wr = jnp.asarray(np.linspace(1.0, 3.0, C), jnp.float32)
+    wr = jnp.asarray(
+        np.linspace(1.0, 3.0, C, dtype=np.float32).reshape(C // 128, 128)
+    )
 
-    def A(x):      # (C,) -> (R,): x upsampled with banded mixing
+    def A(x):      # (C/128, 128) -> (R/128, 128): upsample with banded mixing
         y0 = wr * x
-        y1 = 0.5 * jnp.roll(wr * x, 1)
-        return jnp.concatenate([y0, y1])
+        y1 = 0.5 * jnp.roll(wr * x, 1, axis=0)
+        return jnp.concatenate([y0, y1], axis=0)
 
     def Ah(y):     # adjoint
-        y0, y1 = y[:C], y[C:]
-        return wr * y0 + 0.5 * wr * jnp.roll(y1, -1)
+        y0, y1 = y[: C // 128], y[C // 128 :]
+        return wr * y0 + 0.5 * wr * jnp.roll(y1, -1, axis=0)
 
-    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(R), jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((R // 128, 128)), jnp.float32
+    )
 
     def solve(x0):
         S, U, V, info = kk.svdsolve((A, Ah), x0, 8, "LR",

@@ -68,9 +68,11 @@ def lanv2_rotation(a, b, c, d):
     cs_r = jnp.where(ok, v1 / jnp.where(ok, nv, 1), 1)
     sn_r = jnp.where(ok, v2 / jnp.where(ok, nv, 1), 0)
 
-    # --- complex case: equalize the diagonal: tan(2θ) = (a - d)/(b + c) ---
+    # --- complex case: equalize the diagonal ---
+    # (Gᵀ M G)₀₀ − (Gᵀ M G)₁₁ = (a−d)·cos2θ + (b+c)·sin2θ, zero at
+    # tan(2θ) = −(a−d)/(b+c)
     denom = b + c
-    theta = 0.5 * jnp.arctan2(a - d, jnp.where(denom == 0, jnp.finfo(rdt).tiny, denom))
+    theta = 0.5 * jnp.arctan2(d - a, jnp.where(denom == 0, jnp.finfo(rdt).tiny, denom))
     cs_c = jnp.cos(theta)
     sn_c = jnp.sin(theta)
 

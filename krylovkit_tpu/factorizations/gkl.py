@@ -83,13 +83,76 @@ def expand(
     """One GKL step (two operator applies): ``w = Aᴴ u_k`` → orthonormalize
     against V → ``(α, v_k)``; ``s = A v_k`` → orthonormalize against U →
     ``(β, u_{k+1})``.  Reference ``gklrecurrence``
-    (``src/factorizations/gkl.jl:294-404``)."""
+    (``src/factorizations/gkl.jl:294-404``).
+
+    For the two-pass orthogonalizers (cgs2/mgs2) a **fused** variant runs
+    instead (the GKL analogue of ``krylov.py:expand_hermitian``): the exact
+    recurrence components are subtracted explicitly and only ONE drift sweep
+    follows, cutting basis passes per step from 8 to 5.
+
+    * domain half-step: the components of ``Aᴴ u_k`` along ``V[0..k-1]`` are
+      ``conj(B[k, :k])`` *exactly* — ``β_{k-1} e_{k-1}`` at an ordinary step
+      (the reference's own subtraction, ``gkl.jl:352-355``), the restart spike
+      row after a thick restart (``Aᴴ Ũ = Ṽ Σ`` survives the restart exactly,
+      so the buffer row is the truth in both cases);
+    * codomain half-step: ``⟨u_i, A v_k⟩ = B[i, k] = α δ_{ik}`` for ``i ≤ k``
+      (holds post-restart for the same reason), so a single ``α·u_k`` AXPY
+      replaces the first full sweep (reference ``gkl.jl:356-359``).
+
+    The drift-sweep coefficients are discarded; ``B`` keeps the exact
+    ``β_{k-1}``/spike entries already in the buffer instead of numerically
+    regenerated ones.
+    """
     U, V, B, k, _ = state
     m1 = B.shape[0]
     ki = jnp.asarray(k, jnp.int32)
+    from ..ops.vector import add
 
-    # domain half-step: row k of B gets (conj(c), α)
+    fused = isinstance(
+        orth, (on.ClassicalGramSchmidt2, on.ModifiedGramSchmidt2)
+    )
     w = op.apply_adjoint(bs.get(U, k))
+    if fused:
+        sweep = (
+            on.cgs if isinstance(orth, on.ClassicalGramSchmidt2) else on.mgs
+        )
+        # domain half-step: subtract the known row components, one drift sweep
+        rowk = jax.lax.dynamic_slice(B, (ki, jnp.int32(0)), (1, m1))[0]
+        rowk = bs.mask_coeffs(rowk, k)
+        w = add(w, bs.unproject(V, jnp.conj(rowk)), a=-1)
+        v_new, alpha, _ = on.orthonormalize(w, V, k, sweep, space)
+        V = bs.set(V, k, v_new)
+
+        # codomain half-step: subtract α u_k, one drift sweep
+        s = op.normal(v_new)
+        uk = bs.get(U, k)
+        s = jax.tree_util.tree_map(
+            lambda ls, lu: ls - alpha.astype(ls.dtype) * lu, s, uk
+        )
+        u_new, beta, _ = on.orthonormalize(s, U, k + 1, sweep, space)
+        U = bs.set(U, k + 1, u_new)
+
+        # write α at [k, k] and β at [k+1, k]; everything else in row k /
+        # column k is already exact in the buffer
+        ek = jax.nn.one_hot(k, m1, dtype=B.dtype)
+        ek1 = jax.nn.one_hot(k + 1, m1, dtype=B.dtype)
+        mask2 = (ek + ek1)[:, None] * ek[None, :]
+        B = B * (1 - mask2) + (
+            alpha.astype(B.dtype) * ek[:, None]
+            + beta.astype(B.dtype) * ek1[:, None]
+        ) * ek[None, :]
+        from ..info import EACHITERATION, log_if
+
+        log_if(
+            verbosity, EACHITERATION + 1,
+            "GKL expansion to dimension {k}: subspace normres = {b}",
+            k=k + 1, b=beta,
+        )
+        return GKLState(U, V, B, k + 1, beta)
+
+    # generic path (cgs/mgs/IR variants): full sweeps, row/column regenerated
+    # from the sweep coefficients
+    # domain half-step: row k of B gets (conj(c), α)
     v_new, alpha, c = on.orthonormalize(w, V, k, orth, space)
     V = bs.set(V, k, v_new)
 

@@ -70,8 +70,14 @@ def _process(H, k, beta, which, tol):
     return nconv.astype(jnp.int32), T, Q, res
 
 
-def _restart(fact: kf.KrylovState, T, Q, beta, keep):
-    """Krylov-Schur truncation: keep the leading sorted Schur vectors."""
+def _restart(fact: kf.KrylovState, T, Q, beta, keep, keep_max: int, gate=None):
+    """Krylov-Schur truncation: keep the leading sorted Schur vectors.
+
+    With ``gate`` the restart is MASKED instead of wrapped in ``lax.cond``
+    (identity rotation when gated off — bit-exact), keeping the big basis out
+    of cond branch outputs; ``keep_max`` is the static bound on ``keep`` so
+    only the surviving rows are written (see ``bs.transform_partial``).
+    Mirrors ``lanczos._restart``."""
     V, H, k, _ = fact
     m1 = H.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
@@ -80,7 +86,9 @@ def _restart(fact: kf.KrylovState, T, Q, beta, keep):
     Qkeep = Qkeep + jax.nn.one_hot(k, m1, dtype=Q.dtype)[:, None] * jax.nn.one_hot(
         keep, m1, dtype=Q.dtype
     )[None, :]
-    Vnew = bs.transform(V, Qkeep)
+    if gate is not None:
+        Qkeep = jnp.where(gate, Qkeep, jnp.eye(m1, dtype=Q.dtype))
+    Vnew = bs.transform_partial(V, Qkeep, keep_max + 1)
     # H ← [kept triangular block; spike row s = β·Q[k-1, :keep]]
     lastrow = jax.lax.dynamic_index_in_dim(Q, jnp.maximum(k - 1, 0), 0, keepdims=False)
     s = (beta * lastrow).astype(H.dtype)
@@ -89,7 +97,11 @@ def _restart(fact: kf.KrylovState, T, Q, beta, keep):
     didx = jax.lax.broadcasted_iota(jnp.int32, (m1,), 0)
     spike = jnp.where(didx < keep, s, 0)
     Hnew = Hnew + jax.nn.one_hot(keep, m1, dtype=H.dtype)[:, None] * spike[None, :]
-    return kf.KrylovState(Vnew, Hnew, keep.astype(jnp.int32), beta)
+    k_new = keep.astype(jnp.int32)
+    if gate is not None:
+        Hnew = jnp.where(gate, Hnew, H)
+        k_new = jnp.where(gate, k_new, jnp.asarray(k, jnp.int32))
+    return kf.KrylovState(Vnew, Hnew, k_new, beta)
 
 
 def _process_real(H, k, beta, which, tol):
@@ -151,24 +163,28 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
     )
 
     def expand_one(c):
-        fact, numops = c
-        return kf.expand(op.normal, fact, alg.orth, space, alg.verbosity), numops + 1
+        fact, numops, j = c
+        fact = kf.expand(op.normal, fact, alg.orth, space, alg.verbosity)
+        return fact, numops + 1, j + 1
 
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops
 
+        # single while_loop (do-while: ≥1 expansion if possible) — no leading
+        # lax.cond, whose branch outputs would defensively copy the basis
+        # buffer every outer iteration (see lanczos.py)
         def inner_cond(c):
-            fact, numops = c
+            fact, numops, j = c
             go = jnp.logical_and(fact.k < m, fact.beta > btol)
             if alg.eager:
-                go = jnp.logical_and(go, fact.k < max(howmany, 1))
+                go = jnp.logical_and(
+                    go, jnp.logical_or(j == 0, fact.k < max(howmany, 1))
+                )
             return go
 
-        can_expand = jnp.logical_and(fact.k < m, fact.beta > btol)
-        fact, numops = jax.lax.cond(
-            can_expand, expand_one, lambda c: c, (fact, numops)
+        fact, numops, _ = jax.lax.while_loop(
+            inner_cond, expand_one, (fact, numops, jnp.int32(0))
         )
-        fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
 
         nconv, T, Q, res = process(fact.H, fact.k, fact.beta, which, tol)
         full = fact.k >= m
@@ -182,13 +198,25 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
         keep = jnp.clip(keep_raw, 1, jnp.maximum(fact.k - 1, 1))
         if real:
             keep = _block_safe_keep(T, fact.k, keep, m + 1)
+        # static bound: restart implies nconv < howmany and k == m; the
+        # block-safe adjustment can grow keep by one
+        keep_max = min((3 * m + 2 * max(howmany - 1, 0)) // 5 + 1, m - 1)
         restart_now = jnp.logical_and(jnp.logical_not(done), fact.k >= m)
-        fact = jax.lax.cond(
-            restart_now,
-            lambda a: _restart(a[0], a[1], a[2], a[0].beta, keep),
-            lambda a: a[0],
-            (fact, T, Q),
-        )
+        if alg.eager:
+            # eager processes every step — a masked always-run transform would
+            # add a basis pass per expansion, so keep the cond here
+            fact = jax.lax.cond(
+                restart_now,
+                lambda a: _restart(a[0], a[1], a[2], a[0].beta, keep, keep_max),
+                lambda a: a[0],
+                (fact, T, Q),
+            )
+        else:
+            # non-eager: every processing but the last restarts — run the
+            # masked (gated) restart unconditionally, avoiding cond copies
+            fact = _restart(
+                fact, T, Q, fact.beta, keep, keep_max, gate=restart_now
+            )
         log_if(
             alg.verbosity, EACHITERATION,
             "Arnoldi schursolve in iteration {it}: {nc} values converged, "

@@ -66,23 +66,34 @@ def _process(B, k, beta, which, tol):
     return nconv.astype(jnp.int32), s, P, Q, res
 
 
-def _restart(fact: gf.GKLState, svals, P, Q, beta, keep):
+def _restart(fact: gf.GKLState, svals, P, Q, beta, keep, keep_max: int, gate=None):
     """Thick restart to broken-arrow form of size ``keep``:
-    ``A Ṽ = Ũ Σ + β u_k Q[k-1, :]`` (see factorizations/gkl.py docstring)."""
+    ``A Ṽ = Ũ Σ + β u_k Q[k-1, :]`` (see factorizations/gkl.py docstring).
+
+    With ``gate`` the restart is MASKED instead of wrapped in ``lax.cond``
+    (identity rotations when gated off — bit-exact), keeping both big bases
+    out of cond branch outputs; ``keep_max`` is the static bound on ``keep``
+    so only the surviving rows are written (``bs.transform_partial``).
+    Mirrors ``lanczos._restart``."""
     U, V, B, k, _ = fact
     m1 = B.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
     keepmask = (cols < keep) & (rows < k)
+    eye = jnp.eye(m1, dtype=P.dtype)
     # domain basis: kept right singular vectors
     Qkeep = jnp.where(keepmask, Q, 0)
-    Vnew = bs.transform(V, Qkeep)
+    if gate is not None:
+        Qkeep = jnp.where(gate, Qkeep, eye)
+    Vnew = bs.transform_partial(V, Qkeep, keep_max + 1)
     # codomain basis: kept left singular vectors + old residual u_k at slot keep
     Pkeep = jnp.where(keepmask, P, 0)
     Pkeep = Pkeep + jax.nn.one_hot(k, m1, dtype=P.dtype)[:, None] * jax.nn.one_hot(
         keep, m1, dtype=P.dtype
     )[None, :]
-    Unew = bs.transform(U, Pkeep)
+    if gate is not None:
+        Pkeep = jnp.where(gate, Pkeep, eye)
+    Unew = bs.transform_partial(U, Pkeep, keep_max + 1)
     # projected matrix: diag(σ[:keep]) + spike row at ``keep``
     didx = jax.lax.broadcasted_iota(jnp.int32, (m1,), 0)
     diag = jnp.where(didx < keep, svals.astype(B.dtype), 0)
@@ -91,7 +102,11 @@ def _restart(fact: gf.GKLState, svals, P, Q, beta, keep):
     Bnew = jnp.diag(diag) + jax.nn.one_hot(keep, m1, dtype=B.dtype)[:, None] * spike[
         None, :
     ]
-    return gf.GKLState(Unew, Vnew, Bnew, keep.astype(jnp.int32), beta)
+    k_new = keep.astype(jnp.int32)
+    if gate is not None:
+        Bnew = jnp.where(gate, Bnew, B)
+        k_new = jnp.where(gate, k_new, jnp.asarray(k, jnp.int32))
+    return gf.GKLState(Unew, Vnew, Bnew, k_new, beta)
 
 
 def svdsolve_gkl(
@@ -138,22 +153,28 @@ def svdsolve_gkl(
     )
 
     def expand_one(c):
-        fact, numops = c
-        return gf.expand(op, fact, alg.orth, space, alg.verbosity), numops + 2
+        fact, numops, j = c
+        fact = gf.expand(op, fact, alg.orth, space, alg.verbosity)
+        return fact, numops + 2, j + 1
 
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops
 
+        # single while_loop (do-while: ≥1 expansion if possible) — no leading
+        # lax.cond, whose branch outputs would defensively copy BOTH basis
+        # buffers every outer iteration (see lanczos.py)
         def inner_cond(c):
-            fact, numops = c
+            fact, numops, j = c
             go = jnp.logical_and(fact.k < m, fact.beta > btol)
             if alg.eager:
-                go = jnp.logical_and(go, fact.k < max(howmany, 1))
+                go = jnp.logical_and(
+                    go, jnp.logical_or(j == 0, fact.k < max(howmany, 1))
+                )
             return go
 
-        can_expand = jnp.logical_and(fact.k < m, fact.beta > btol)
-        fact, numops = jax.lax.cond(can_expand, expand_one, lambda c: c, (fact, numops))
-        fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
+        fact, numops, _ = jax.lax.while_loop(
+            inner_cond, expand_one, (fact, numops, jnp.int32(0))
+        )
 
         nconv, svals, P, Q, res = _process(fact.B, fact.k, fact.beta, which, tol)
         full = fact.k >= m
@@ -165,13 +186,24 @@ def svdsolve_gkl(
         )
         keep_raw = (3 * m + 2 * nconv) // 5
         keep = jnp.clip(keep_raw, 1, jnp.maximum(fact.k - 1, 1))
+        # static bound: restart implies nconv < howmany and k == m
+        keep_max = min((3 * m + 2 * max(howmany - 1, 0)) // 5, m - 1)
         restart_now = jnp.logical_and(jnp.logical_not(done), fact.k >= m)
-        fact = jax.lax.cond(
-            restart_now,
-            lambda a: _restart(a[0], a[1], a[2], a[3], a[0].beta, keep),
-            lambda a: a[0],
-            (fact, svals, P, Q),
-        )
+        if alg.eager:
+            # eager processes every step — a masked always-run transform would
+            # add two basis passes per expansion, so keep the cond here
+            fact = jax.lax.cond(
+                restart_now,
+                lambda a: _restart(a[0], a[1], a[2], a[3], a[0].beta, keep, keep_max),
+                lambda a: a[0],
+                (fact, svals, P, Q),
+            )
+        else:
+            # non-eager: every processing but the last restarts — run the
+            # masked (gated) restart unconditionally, avoiding cond copies
+            fact = _restart(
+                fact, svals, P, Q, fact.beta, keep, keep_max, gate=restart_now
+            )
         return _LoopState(fact, numiter, numops, nconv, svals, P, Q, res, done)
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)

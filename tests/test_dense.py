@@ -290,6 +290,64 @@ def test_sort_schur_real():
         assert np.all(kl[:-1] <= kl[1:] + 1e-10)
 
 
+def test_sort_schur_real_stress():
+    """Adversarial orderings for the odd-even block-transposition schedule:
+    reverse-sorted spectra (every block travels the full distance), mixed
+    1x1/2x2 block patterns, several seeds; checks the similarity invariant,
+    orthogonality, standard form of surviving 2x2 blocks, and key ordering."""
+    for seed in range(5):
+        rng = np.random.default_rng(100 + seed)
+        m, k = 31, 28
+        # block-diagonal seed with a known adversarial key order, then rotate
+        # by an orthogonal similarity and re-Schur so the sort has real work
+        H = np.zeros((m, m))
+        H[:k, :k] = rng.standard_normal((k, k)) + np.diag(
+            np.linspace(k, 1, k)  # descending real parts: LR sort reverses all
+        )
+        T, Q, ok = jax.jit(dense.real_schur_active)(jnp.asarray(H), k)
+        assert bool(ok)
+        for which in ("SR", "LR", "LM", "SM"):
+            Ts, Qs = jax.jit(dense.sort_schur_real, static_argnums=(2,))(
+                T, Q, which, k
+            )
+            Ts, Qs = np.asarray(Ts), np.asarray(Qs)
+            assert np.abs(Qs.T @ Qs - np.eye(m)).max() < 1e-11
+            assert (
+                np.abs(Qs[:k, :k].T @ H[:k, :k] @ Qs[:k, :k] - Ts[:k, :k]).max()
+                < 1e-8
+            )
+            # quasi-triangular: nothing below the first subdiagonal, no
+            # adjacent 2x2 overlap, 2x2 blocks standardized (equal diagonal)
+            assert np.abs(np.tril(Ts[:k, :k], -2)).max() == 0.0
+            sub = np.abs(np.diagonal(Ts, -1)[: k - 1]) > 0
+            if k > 2:
+                assert not np.any(sub[:-1] & sub[1:])
+            for i in np.nonzero(sub)[0]:
+                assert abs(Ts[i, i] - Ts[i + 1, i + 1]) < 1e-8 * max(
+                    1, abs(Ts[i, i])
+                )
+            re, im = dense.real_schur_eigvals(jnp.asarray(Ts), k)
+            lam = np.asarray(re)[:k] + 1j * np.asarray(im)[:k]
+            exact = np.linalg.eigvals(H[:k, :k])
+            assert np.abs(
+                np.sort_complex(np.round(lam, 6))
+                - np.sort_complex(np.round(exact, 6))
+            ).max() < 1e-5
+            keyfn = {
+                "LM": lambda v: -np.abs(v),
+                "SM": lambda v: np.abs(v),
+                "LR": lambda v: -v.real,
+                "SR": lambda v: v.real,
+            }[which]
+            keys = keyfn(lam)
+            i, kl = 0, []
+            while i < k:
+                kl.append(keys[i])
+                i += 2 if im[i] != 0 else 1
+            kl = np.array(kl)
+            assert np.all(kl[:-1] <= kl[1:] + 1e-9)
+
+
 def test_triangular_eigvecs_real():
     rng = np.random.default_rng(3)
     m, k = 14, 11
