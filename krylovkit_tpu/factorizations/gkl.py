@@ -55,6 +55,7 @@ def initialize(
     coeff_dtype,
     space: VectorSpace = STANDARD,
     vec_dtype=None,
+    verbosity: int = 0,
 ) -> GKLState:
     """``U[0] = x0/‖x0‖``; the domain basis V is allocated from the abstract
     shape of ``Aᴴ x0`` (no FLOPs).  Reference ``initialize``
@@ -62,6 +63,13 @@ def initialize(
     if vec_dtype is not None:
         x0 = jax.tree_util.tree_map(lambda l: l.astype(vec_dtype), x0)
     nrm = space.norm(x0)
+    from ..info import warn_if
+
+    warn_if(
+        verbosity, nrm == 0,
+        "[krylovkit_tpu] starting vector x0 has zero norm: results are NaN "
+        "and converged = 0",
+    )
     u0 = jax.tree_util.tree_map(lambda l: l / nrm.astype(l.dtype), x0)
     U = bs.alloc(u0, m + 1)
     U = bs.set(U, 0, u0)

@@ -62,13 +62,26 @@ def initialize(
     coeff_dtype,
     space: VectorSpace = STANDARD,
     vec_dtype=None,
+    verbosity: int = 0,
 ) -> KrylovState:
     """Allocate buffers and set ``V[0] = x0/‖x0‖`` (reference ``initialize``,
     ``src/factorizations/lanczos.jl:180-249``).  ``vec_dtype`` promotes the basis
-    (e.g. real → complex for the Arnoldi/Schur path)."""
+    (e.g. real → complex for the Arnoldi/Schur path).
+
+    A zero-norm ``x0`` cannot raise inside jit (the reference raises host-side,
+    ``src/factorizations/lanczos.jl:184``); instead ``v0`` becomes NaN, which
+    propagates so every residual comparison fails → ``converged == 0``, and a
+    WARN-level message fires in-graph."""
     if vec_dtype is not None:
         x0 = jax.tree_util.tree_map(lambda l: l.astype(vec_dtype), x0)
     nrm = space.norm(x0)
+    from ..info import warn_if
+
+    warn_if(
+        verbosity, nrm == 0,
+        "[krylovkit_tpu] starting vector x0 has zero norm: results are NaN "
+        "and converged = 0",
+    )
     v0 = jax.tree_util.tree_map(lambda l: l / nrm.astype(l.dtype), x0)
     V = bs.alloc(v0, m + 1)
     V = bs.set(V, 0, v0)
@@ -238,11 +251,19 @@ class Lanczos3State(NamedTuple):
 
 
 def initialize_3term(
-    x0: PyTree, m: int, coeff_dtype, space: VectorSpace = STANDARD
+    x0: PyTree, m: int, coeff_dtype, space: VectorSpace = STANDARD,
+    verbosity: int = 0,
 ) -> Lanczos3State:
     """``v_0 = x0/‖x0‖`` with no stored basis (reference ``keepvecs=false``
     initialize, ``src/factorizations/lanczos.jl:184-207``)."""
     nrm = space.norm(x0)
+    from ..info import warn_if
+
+    warn_if(
+        verbosity, nrm == 0,
+        "[krylovkit_tpu] starting vector x0 has zero norm: results are NaN "
+        "and converged = 0",
+    )
     v0 = jax.tree_util.tree_map(lambda l: l / nrm.astype(l.dtype), x0)
     H = jnp.zeros((m + 1, m + 1), dtype=coeff_dtype)
     zero = jax.tree_util.tree_map(jnp.zeros_like, v0)

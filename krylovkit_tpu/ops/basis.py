@@ -41,6 +41,33 @@ from .vector import VectorSpace, STANDARD
 PyTree = Any
 _HI = jax.lax.Precision.HIGHEST
 
+# Toggle for the dynamic-k Pallas projection kernels (ops/pallas_basis.py).
+# OFF by default: on-chip A/B (2026-08-19) showed the flagship solve REGRESSES
+# 6.28 → 4.41 Gnnz/s with these kernels — the chunked-DMA dynamic-k stream is
+# slower than XLA's full-31-row fused contraction despite reading ~24% less
+# HBM (M=1 GEMVs hit the small-matmul wall; see tools/bench_phases.py data in
+# benchmarks/RESULTS.md).  Kept as an honest experiment + interpret-mode tests.
+use_pallas_projections = False
+
+
+def _pallas_proj_leaf(V, x, space: "VectorSpace"):
+    """Return the (lV, lx) pair if the Pallas projection kernels apply, else None."""
+    if not use_pallas_projections or jax.default_backend() != "tpu":
+        return None
+    if space.inner_fn is not None:
+        return None
+    lV = jax.tree_util.tree_leaves(V)
+    lx = jax.tree_util.tree_leaves(x)
+    if len(lV) != 1 or len(lx) != 1:
+        return None
+    from . import pallas_basis as pb
+
+    if not pb.supported_leaf(lV[0]) or lx[0].dtype != lV[0].dtype:
+        return None
+    if lx[0].shape != lV[0].shape[1:]:
+        return None
+    return lV[0], lx[0]
+
 __all__ = [
     "alloc",
     "get",
@@ -95,6 +122,12 @@ def project(V: PyTree, x: PyTree, k, space: VectorSpace = STANDARD) -> jax.Array
     leaf), one reduction → one ``psum`` on a sharded mesh.
     """
     if space.inner_fn is None:
+        hit = _pallas_proj_leaf(V, x, space)
+        if hit is not None:
+            from . import pallas_basis as pb
+
+            # kernel masks j >= k and reads only ceil(k/kb) basis chunks
+            return pb.project_pallas(hit[0], hit[1], k)
         parts = []
         for lV, lx in zip(jax.tree_util.tree_leaves(V), jax.tree_util.tree_leaves(x)):
             nd = lx.ndim
@@ -113,9 +146,28 @@ def project(V: PyTree, x: PyTree, k, space: VectorSpace = STANDARD) -> jax.Array
     return mask_coeffs(c, k)
 
 
-def unproject(V: PyTree, c: jax.Array) -> PyTree:
+def unproject(V: PyTree, c: jax.Array, k=None) -> PyTree:
     """``y = Σ_j c[j] V[j]`` — the ``V c`` kernel (reference ``unproject!!``,
-    ``src/orthonormal.jl:132-196``).  Caller is responsible for masking ``c``."""
+    ``src/orthonormal.jl:132-196``).  Caller is responsible for masking ``c``.
+
+    When the active length ``k`` (traced ok) is supplied and the basis has the
+    TPU tile layout, a Pallas kernel reads only the first ``k`` basis rows
+    from HBM instead of all ``kmax`` (see ``ops/pallas_basis.py``)."""
+    if (
+        k is not None
+        and not jnp.iscomplexobj(c)
+        and use_pallas_projections
+        and jax.default_backend() == "tpu"
+    ):
+        lVs = jax.tree_util.tree_leaves(V)
+        if len(lVs) == 1:
+            from . import pallas_basis as pb
+
+            if pb.supported_leaf(lVs[0]):
+                return jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(V),
+                    [pb.unproject_pallas(lVs[0], c, k)],
+                )
 
     def leaf(lV):
         return jax.lax.dot_general(

@@ -96,7 +96,7 @@ mgsir = ModifiedGramSchmidtIR()
 
 def _cgs_sweep(w, V, k, space):
     c = bs.project(V, w, k, space)
-    w = add(w, bs.unproject(V, c), a=-1)
+    w = add(w, bs.unproject(V, c, k), a=-1)
     return w, c
 
 

@@ -95,76 +95,127 @@ class _HaloPlan:
     col_block: int  # local domain-vector block (elements)
     row_block: int  # local codomain block (elements)
     width: int  # ELL width
+    boundary_max: int = 0  # padded boundary-row count per shard
+    boundary_total: int = 0  # true boundary rows summed over shards
 
     @property
     def halo_elems(self) -> int:
         return int(sum(self.lengths))
 
 
-def _plan_shard(ell_cols, valid, m, n, D):
-    """Remap ELL columns into per-shard local-buffer coordinates and build the
-    per-round send lists.  Returns ``(remapped_cols (m,width) int32,
-    send_idx {δ: (D, L_δ) int32}, plan)``."""
+def _plan_shard(ell_cols, ell_vals, valid, m, n, D):
+    """Split the ELL planes into a **local** part (all columns on-shard; this
+    is the interior compute that overlaps with the halo exchange) and a
+    compressed **boundary** part (only rows with off-shard columns, addressing
+    the packed halo buffer), and build the per-round ``ppermute`` send lists.
+
+    Fully vectorized: one global lexsort/group-by over ``(shard, δ, column)``
+    replaces any per-shard Python loops, so planning a 100M-nnz matrix is
+    seconds, not minutes.
+
+    Returns ``(local_cols (m,w) int32, local_vals (m,w),
+    brows (D·B,) int32, bcols (D·B,w) int32, bvals (D·B,w),
+    send_idx {δ: (D, L_δ) int32}, plan)`` where ``B = plan.boundary_max``.
+    """
     row_block = m // D
     col_block = n // D
     width = ell_cols.shape[1]
 
-    # per-shard needed remote entries, grouped by ring distance δ
-    need = [dict() for _ in range(D)]  # need[d][δ] = sorted global col indices
-    for d in range(D):
-        sub = ell_cols[d * row_block : (d + 1) * row_block]
-        subv = valid[d * row_block : (d + 1) * row_block]
-        src = sub // col_block
-        remote = subv & (src != d)
-        if not remote.any():
-            continue
-        rc = sub[remote]
-        rs = src[remote]
-        for s in np.unique(rs):
-            delta = int((s - d) % D)
-            need[d][delta] = np.unique(rc[rs == s])
+    d_all = np.broadcast_to(
+        (np.arange(m, dtype=np.int64) // row_block)[:, None], ell_cols.shape
+    )
+    cols64 = ell_cols.astype(np.int64)
+    src = cols64 // col_block
+    remote = valid & (src != d_all)
 
-    deltas = sorted({delta for nd in need for delta in nd})
-    lengths = [max(len(nd.get(delta, ())) for nd in need) for delta in deltas]
+    # ---- local plane: remote/padding slots → index 0, value 0 --------------
+    local_mask = valid & ~remote
+    local_cols = np.where(local_mask, cols64 - d_all * col_block, 0).astype(np.int32)
+    local_vals = np.where(local_mask, ell_vals, 0)
 
-    # buffer offsets: [local | halo δ₁ | halo δ₂ | …]
-    offsets = {}
-    off = col_block
+    if not remote.any():
+        plan = _HaloPlan((), (), col_block, row_block, width)
+        empty_r = np.zeros((0,), np.int32)
+        empty_c = np.zeros((0, width), np.int32)
+        empty_v = np.zeros((0, width), ell_vals.dtype)
+        return local_cols, local_vals, empty_r, empty_c, empty_v, {}, plan
+
+    # ---- one global group-by over (dest shard d, ring distance δ, col) -----
+    rd = d_all[remote]  # dest shard per remote entry
+    rc = cols64[remote]  # global column per remote entry
+    rdelta = (src[remote] - rd) % D
+    key = (rd * D + rdelta) * np.int64(n) + rc
+    ukey, inv = np.unique(key, return_inverse=True)  # sorted unique triples
+    u_d = ukey // (np.int64(n) * D)
+    u_delta = (ukey // n) % D
+    u_col = ukey % n
+
+    gkey = u_d * D + u_delta  # contiguous groups within ukey
+    gids, gstart = np.unique(gkey, return_index=True)
+    gcount = np.diff(np.append(gstart, len(ukey)))
+    g_delta = (gids % D).astype(np.int64)
+
+    deltas = sorted({int(x) for x in g_delta})
+    lengths = [int(gcount[g_delta == delta].max()) for delta in deltas]
+
+    # halo-buffer offsets per δ (relative to the start of the halo buffer)
+    off_by_delta = np.zeros(D, np.int64)
+    off = 0
     for delta, L in zip(deltas, lengths):
-        offsets[delta] = off
+        off_by_delta[delta] = off
         off += L
 
-    remapped = np.zeros((m, width), np.int32)
-    for d in range(D):
-        sl = slice(d * row_block, (d + 1) * row_block)
-        sub = ell_cols[sl].copy()
-        subv = valid[sl]
-        sub[~subv] = d * col_block  # padding → local slot 0 (value is 0)
-        src = sub // col_block
-        out = sub - d * col_block  # local entries
-        for delta in deltas:
-            s = (d + delta) % D
-            mask = subv & (src == s) if s != d else np.zeros_like(subv)
-            if not mask.any():
-                continue
-            nd = need[d][delta]
-            out[mask] = offsets[delta] + np.searchsorted(nd, sub[mask])
-        remapped[sl] = out
+    # rank of each unique (d, δ, col) inside its group = its slot in round δ
+    u_rank = np.arange(len(ukey), dtype=np.int64) - gstart[
+        np.searchsorted(gids, gkey)
+    ]
+    u_slot = off_by_delta[u_delta] + u_rank  # halo-buffer index
 
-    # send lists: in round δ, shard s sends to shard (s-δ)%D the entries that
-    # shard needs from s (local indices on s), padded to L_δ with 0
+    # ---- boundary rows: compress rows that touch any remote column ---------
+    halo_cols = np.zeros((m, width), np.int64)
+    halo_cols[remote] = u_slot[inv]
+    brow_mask = remote.any(axis=1)  # (m,)
+    b_shard = (np.flatnonzero(brow_mask) // row_block).astype(np.int64)
+    b_per_shard = np.bincount(b_shard, minlength=D)
+    B = int(b_per_shard.max())
+    brows = np.zeros((D, B), np.int32)
+    bcols = np.zeros((D, B, width), np.int32)
+    bvals = np.zeros((D, B, width), ell_vals.dtype)
+    rows_g = np.flatnonzero(brow_mask)
+    pos = np.concatenate([np.arange(c) for c in b_per_shard]) if len(rows_g) else []
+    brows[b_shard, pos] = (rows_g - b_shard * row_block).astype(np.int32)
+    bcols[b_shard, pos] = np.where(remote[rows_g], halo_cols[rows_g], 0).astype(
+        np.int32
+    )
+    bvals[b_shard, pos] = np.where(remote[rows_g], ell_vals[rows_g], 0)
+
+    # ---- send lists: in round δ, shard s=(d+δ)%D serves dest d's group -----
     send_idx = {}
     for delta, L in zip(deltas, lengths):
         tbl = np.zeros((D, L), np.int32)
-        for s in range(D):
-            dst = (s - delta) % D
-            nd = need[dst].get(delta)
-            if nd is not None and len(nd):
-                tbl[s, : len(nd)] = nd - s * col_block
+        sel = u_delta == delta
+        s_of = (u_d[sel] + delta) % D
+        tbl[s_of, u_rank[sel]] = (u_col[sel] - s_of * col_block).astype(np.int32)
         send_idx[delta] = tbl
 
-    plan = _HaloPlan(tuple(deltas), tuple(lengths), col_block, row_block, width)
-    return remapped, send_idx, plan
+    plan = _HaloPlan(
+        tuple(deltas),
+        tuple(lengths),
+        col_block,
+        row_block,
+        width,
+        boundary_max=B,
+        boundary_total=int(brow_mask.sum()),
+    )
+    return (
+        local_cols,
+        local_vals,
+        brows.reshape(D * B),
+        bcols.reshape(D * B, width),
+        bvals.reshape(D * B, width),
+        send_idx,
+        plan,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -172,23 +223,36 @@ def _plan_shard(ell_cols, valid, m, n, D):
 # ---------------------------------------------------------------------------
 
 
-def _make_apply(mesh, axis, plan: _HaloPlan, cols, vals, sends, out_template):
-    """Build the shard_map'd SpMV closure for one direction."""
+def _make_apply(mesh, axis, plan: _HaloPlan, data, out_template):
+    """Build the shard_map'd SpMV closure for one direction.
+
+    The halo ``ppermute``s are issued FIRST and the interior (all-local-column)
+    gather/multiply has no data dependency on them, so XLA's latency-hiding
+    scheduler can overlap the ICI transfers with the interior compute; only the
+    compressed boundary-row pass (``plan.boundary_max`` rows/shard) waits on
+    the payloads (SURVEY §7 "collectives overlapped with compute")."""
+    cols, vals, brows, bcols, bvals, sends = data
     D = mesh.shape[axis]
     perms = [
         [(s, (s - delta) % D) for s in range(D)] for delta in plan.deltas
     ]
     out_local_shape = (out_template[0] // D,) + tuple(out_template[1:])
 
-    def local_spmv(x_loc, cols_loc, vals_loc, *send_loc):
+    def local_spmv(x_loc, cols_loc, vals_loc, brows_loc, bcols_loc, bvals_loc,
+                   *send_loc):
         xf = x_loc.reshape(-1)  # local contiguous element block
-        parts = [xf]
-        for send, perm in zip(send_loc, perms):
-            payload = jnp.take(xf, send[0], axis=0)
-            parts.append(jax.lax.ppermute(payload, axis, perm))
-        buf = jnp.concatenate(parts) if len(parts) > 1 else xf
-        g = jnp.take(buf, cols_loc, axis=0)  # (row_block, width)
+        payloads = [
+            jax.lax.ppermute(jnp.take(xf, send[0], axis=0), axis, perm)
+            for send, perm in zip(send_loc, perms)
+        ]
+        # interior pass: independent of every payload → overlappable
+        g = jnp.take(xf, cols_loc, axis=0)  # (row_block, width)
         y = jnp.sum(vals_loc.astype(g.dtype) * g, axis=1)
+        if payloads:
+            halo = jnp.concatenate(payloads) if len(payloads) > 1 else payloads[0]
+            gb = jnp.take(halo, bcols_loc, axis=0)  # (B, width)
+            yb = jnp.sum(bvals_loc.astype(gb.dtype) * gb, axis=1)
+            y = y.at[brows_loc].add(yb)
         return y.reshape(out_local_shape)
 
     nd_out = len(out_template)
@@ -200,13 +264,16 @@ def _make_apply(mesh, axis, plan: _HaloPlan, cols, vals, sends, out_template):
             P(axis, *([None] * (nd_out - 1))),
             data_spec,
             data_spec,
+            P(axis),
+            data_spec,
+            data_spec,
         )
         + (data_spec,) * len(sends),
         out_specs=P(axis, *([None] * (nd_out - 1))),
     )
 
     def apply(x):
-        return smap(x, cols, vals, *sends)
+        return smap(x, cols, vals, brows, bcols, bvals, *sends)
 
     return apply
 
@@ -221,43 +288,46 @@ class ShardedELLOperator(LinearOperator):
     """
 
     def __init__(self, mesh, axis, shape, fwd, adj=None, tile: Optional[int] = None):
-        cols, vals, sends, plan = fwd
+        data, plan = fwd
         object.__setattr__(self, "mesh", mesh)
         object.__setattr__(self, "axis", axis)
         object.__setattr__(self, "shape", tuple(shape))
         object.__setattr__(self, "tile", tile)
         object.__setattr__(self, "fwd_plan", plan)
-        object.__setattr__(self, "adj_plan", adj[3] if adj is not None else None)
+        object.__setattr__(self, "adj_plan", adj[1] if adj is not None else None)
         m, n = shape
         dom = (n,) if tile is None else (n // tile, tile)
         cod = (m,) if tile is None else (m // tile, tile)
         object.__setattr__(
-            self, "normal", _make_apply(mesh, axis, plan, cols, vals, sends, cod)
+            self, "normal", _make_apply(mesh, axis, plan, data, cod)
         )
         if adj is not None:
-            acols, avals, asends, aplan = adj
+            adata, aplan = adj
             object.__setattr__(
-                self,
-                "adjoint",
-                _make_apply(mesh, axis, aplan, acols, avals, asends, dom),
+                self, "adjoint", _make_apply(mesh, axis, aplan, adata, dom)
             )
         else:
             object.__setattr__(self, "adjoint", None)
 
     def comm_summary(self) -> str:
-        """Static per-apply communication: ppermute rounds and payload sizes
-        (the stand-in scaling diagnostic when only one real chip exists)."""
+        """Static per-apply communication: ppermute rounds, payload sizes, and
+        the interior/boundary row split (the overlap structure — interior rows
+        compute while halos are in flight)."""
+
+        def one(p: _HaloPlan, m_rows: int) -> str:
+            return (
+                f"{len(p.deltas)} ppermute round(s) (δ={list(p.deltas)}), "
+                f"{p.halo_elems} halo elems/apply; rows "
+                f"{m_rows - p.boundary_total} interior / {p.boundary_total} "
+                f"boundary (≤{p.boundary_max}/shard)"
+            )
+
+        D = self.mesh.shape[self.axis]
         f = self.fwd_plan
-        s = (
-            f"normal: {len(f.deltas)} ppermute round(s) "
-            f"(δ={list(f.deltas)}), {f.halo_elems} halo elems/apply"
-        )
+        s = "normal: " + one(f, f.row_block * D)
         if self.adj_plan is not None:
             a = self.adj_plan
-            s += (
-                f"; adjoint: {len(a.deltas)} round(s) (δ={list(a.deltas)}), "
-                f"{a.halo_elems} halo elems/apply"
-            )
+            s += "; adjoint: " + one(a, a.row_block * D)
         return s
 
 
@@ -271,14 +341,19 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _shard_data(mesh, axis, ell_cols, ell_vals, send_idx, plan):
+def _shard_data(mesh, axis, planned):
+    lcols, lvals, brows, bcols, bvals, send_idx, plan = planned
     spec = NamedSharding(mesh, P(axis, None))
-    cols = jax.device_put(jnp.asarray(ell_cols), spec)
-    vals = jax.device_put(jnp.asarray(ell_vals), spec)
-    sends = tuple(
-        jax.device_put(jnp.asarray(send_idx[d]), spec) for d in plan.deltas
+    spec1 = NamedSharding(mesh, P(axis))
+    data = (
+        jax.device_put(jnp.asarray(lcols), spec),
+        jax.device_put(jnp.asarray(lvals), spec),
+        jax.device_put(jnp.asarray(brows), spec1),
+        jax.device_put(jnp.asarray(bcols), spec),
+        jax.device_put(jnp.asarray(bvals), spec),
+        tuple(jax.device_put(jnp.asarray(send_idx[d]), spec) for d in plan.deltas),
     )
-    return cols, vals, sends, plan
+    return data, plan
 
 
 def sharded_ell_from_coo(
@@ -313,15 +388,13 @@ def sharded_ell_from_coo(
 
     ec, ev, valid = coo_to_ell(rows, cols, vals, m)
     ev = np.where(valid, ev, 0)
-    remapped, send_idx, plan = _plan_shard(ec, valid, m, n, D)
-    fwd = _shard_data(mesh, axis, remapped, ev, send_idx, plan)
+    fwd = _shard_data(mesh, axis, _plan_shard(ec, ev, valid, m, n, D))
 
     adj = None
     if with_adjoint:
         ac, av, avalid = coo_to_ell(cols, rows, np.conj(vals), n)
         av = np.where(avalid, av, 0)
-        aremap, asend, aplan = _plan_shard(ac, avalid, n, m, D)
-        adj = _shard_data(mesh, axis, aremap, av, asend, aplan)
+        adj = _shard_data(mesh, axis, _plan_shard(ac, av, avalid, n, m, D))
 
     return ShardedELLOperator(mesh, axis, shape, fwd, adj, tile=tile)
 

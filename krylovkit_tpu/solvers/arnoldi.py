@@ -149,7 +149,8 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
 
     process = _process_real if real else _process
     fact0 = kf.initialize(
-        x0, m, cdt, space, vec_dtype=None if real else cdt
+        x0, m, cdt, space, vec_dtype=None if real else cdt,
+        verbosity=alg.verbosity,
     )
     st0 = _LoopState(
         fact=fact0,
@@ -189,7 +190,10 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
         nconv, T, Q, res = process(fact.H, fact.k, fact.beta, which, tol)
         full = fact.k >= m
         numiter = st.numiter + full.astype(jnp.int32)
-        stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
+        # ¬(β > btol): NaN β must count as breakdown (see lanczos.py)
+        stalled = jnp.logical_and(
+            jnp.logical_not(fact.beta > btol), fact.k < m
+        )
         done = jnp.logical_or(
             nconv >= howmany,
             jnp.logical_or(full & (numiter >= alg.maxiter), stalled),

@@ -212,7 +212,8 @@ def bieigsolve_driver(
 
         full = L >= m
         numiter = st.numiter + full.astype(jnp.int32)
-        stalled = ((fV.beta <= btol) | (fW.beta <= btol)) & (L < m)
+        # ¬(β > btol): NaN β must count as breakdown (see lanczos.py)
+        stalled = (~(fV.beta > btol) | ~(fW.beta > btol)) & (L < m)
         done = (nconv >= howmany) | (full & (numiter >= alg.maxiter)) | stalled
 
         keep = jnp.clip((3 * m + 2 * nconv) // 5, 1, jnp.maximum(L - 1, 1)).astype(

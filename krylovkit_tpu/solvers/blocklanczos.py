@@ -122,7 +122,10 @@ def eigsolve_blocklanczos(
 
         full = fact.k + fact.r > m
         numiter = st.numiter + full.astype(jnp.int32)
-        exhausted = jnp.logical_or(fact.r <= 0, fact.beta <= btol)
+        # ¬(β > btol): NaN β must count as breakdown (see lanczos.py)
+        exhausted = jnp.logical_or(
+            fact.r <= 0, jnp.logical_not(fact.beta > btol)
+        )
         done = jnp.logical_or(
             nconv >= howmany,
             jnp.logical_or(full & (numiter >= alg.maxiter), exhausted),

@@ -143,7 +143,7 @@ def eigsolve_lanczos(
     tol = jnp.asarray(alg.tol, rdt)
     btol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
 
-    fact0 = kf.initialize(x0, m, cdt, space)
+    fact0 = kf.initialize(x0, m, cdt, space, verbosity=alg.verbosity)
     st0 = _LoopState(
         fact=fact0,
         numiter=jnp.int32(0),
@@ -209,7 +209,12 @@ def eigsolve_lanczos(
         # numiter counts restarts; eager processings at k < m are free
         full = fact.k >= m
         numiter = st.numiter + full.astype(jnp.int32)
-        stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
+        # ¬(β > btol) rather than β ≤ btol: a NaN β (zero-norm x0 or
+        # operator-produced NaN) must count as breakdown, or the outer
+        # loop spins forever making no progress
+        stalled = jnp.logical_and(
+            jnp.logical_not(fact.beta > btol), fact.k < m
+        )
         done = jnp.logical_or(
             nconv >= howmany,
             jnp.logical_or(full & (numiter >= alg.maxiter), stalled),

@@ -138,7 +138,7 @@ def svdsolve_gkl(
     tol = jnp.asarray(alg.tol, rdt)
     btol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
 
-    fact0 = gf.initialize(op, x0, m, cdt, space)
+    fact0 = gf.initialize(op, x0, m, cdt, space, verbosity=alg.verbosity)
     m1 = m + 1
     st0 = _LoopState(
         fact=fact0,
@@ -179,7 +179,10 @@ def svdsolve_gkl(
         nconv, svals, P, Q, res = _process(fact.B, fact.k, fact.beta, which, tol)
         full = fact.k >= m
         numiter = st.numiter + full.astype(jnp.int32)
-        stalled = jnp.logical_and(fact.beta <= btol, fact.k < m)
+        # ¬(β > btol): NaN β must count as breakdown (see lanczos.py)
+        stalled = jnp.logical_and(
+            jnp.logical_not(fact.beta > btol), fact.k < m
+        )
         done = jnp.logical_or(
             nconv >= howmany,
             jnp.logical_or(full & (numiter >= alg.maxiter), stalled),

@@ -346,3 +346,40 @@ def test_realeigsolve_pytree_operator():
                                        maxiter=100, tol=1e-10)
     assert np.allclose(np.asarray(vals), [6.0, np.asarray(D).ravel()[-2]], atol=1e-7)
     assert np.asarray(vals).dtype == np.float64
+
+
+def test_zero_x0_host_raises():
+    A = np.diag(np.arange(1.0, 9.0))
+    with pytest.raises(ValueError, match="zero norm"):
+        kk.eigsolve(jnp.asarray(A), jnp.zeros(8), 2, "LM")
+
+
+def test_zero_x0_in_graph_converged_zero():
+    """Inside jit the host-side guard cannot fire (x0 is a tracer); the
+    in-graph contract is NaN results + converged == 0 (+ a WARN log, see
+    factorizations/krylov.py:initialize; reference raises unconditionally,
+    src/factorizations/lanczos.jl:184)."""
+    A = jnp.asarray(np.diag(np.arange(1.0, 17.0)))
+
+    @jax.jit
+    def run(x0):
+        vals, vecs, info = kk.eigsolve(
+            A, x0, 2, "LM", ishermitian=True, krylovdim=8, maxiter=2
+        )
+        return vals, info.converged
+
+    vals, conv = run(jnp.zeros(16))
+    assert int(conv) == 0
+    assert np.all(np.isnan(np.asarray(vals)))
+
+    # non-Hermitian (Arnoldi) path
+    @jax.jit
+    def run_arnoldi(x0):
+        vals, vecs, info = kk.eigsolve(
+            A, x0, 2, "LM", ishermitian=False, krylovdim=8, maxiter=2
+        )
+        return vals, info.converged
+
+    vals_a, conv_a = run_arnoldi(jnp.zeros(16))
+    assert int(conv_a) == 0
+    assert np.all(np.isnan(np.asarray(vals_a)))
