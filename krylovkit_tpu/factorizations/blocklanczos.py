@@ -74,7 +74,7 @@ def block_qr(
     cdt = jnp.result_type(*[l.dtype for l in jax.tree_util.tree_leaves(X)])
     rdt = jnp.finfo(cdt).dtype
     # relative rank tolerance
-    norms0 = jnp.sqrt(jnp.maximum(jnp.real(bs.batch_inner(X, X)), 0))
+    norms0 = jnp.sqrt(jnp.maximum(jnp.real(bs.batch_inner(X, X, space)), 0))
     scale_ = jnp.maximum(jnp.max(norms0), jnp.asarray(1e-30, rdt))
     tol = qr_tol * scale_
 
@@ -164,7 +164,7 @@ def expand(
     # project against all committed vectors (two CGS passes)
     M = jnp.zeros((mcapb, b), H.dtype)
     for _ in range(2):
-        Mi = bs.gram(V, W)  # (mcap+b, b)
+        Mi = bs.gram(V, W, space)  # (mcap+b, b)
         rows = jax.lax.broadcasted_iota(jnp.int32, Mi.shape, 0)
         Mi = jnp.where(rows < kr, Mi, 0)
         W = _block_axpy(W, V, Mi)

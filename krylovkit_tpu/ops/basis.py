@@ -202,9 +202,19 @@ def transform(V: PyTree, U: jax.Array) -> PyTree:
     return jax.tree_util.tree_map(leaf, V)
 
 
-def _pallas_transform_inplace(lV: jax.Array, U: jax.Array, m_out: int) -> jax.Array:
+def _pallas_transform_inplace(
+    lV: jax.Array, U: jax.Array, m_out: int, *, interpret: bool = False
+) -> jax.Array:
     """In-place partial basis rotation on TPU: writes rows ``[0, m_out)`` of
-    ``lV`` with ``(Uᵀ lV)[:m_out]``; rows ``>= m_out`` become UNSPECIFIED.
+    ``lV`` with ``(Uᵀ lV)[:m_out]``; rows ``>= m_out`` PRESERVE their previous
+    contents — this is a CONTRACT, not an accident: the kernel aliases the
+    output onto the input (``input_output_aliases={1: 0}``) and each grid step
+    writes only ``o_ref[0:m_out]``, so the unwritten tail keeps the input
+    values.  The masked-restart drivers rely on it: on gated-off (identity)
+    restarts they rotate only ``keep_max+1`` rows and later read basis rows up
+    to ``fact.k > m_out`` (``solvers/lanczos.py``), which is exactly the
+    preserved tail.  Tested in interpret mode so a kernel change that breaks
+    tail preservation fails CI on CPU (``tests/test_pallas.py``).
 
     Measured on v5e (tools/bench_transform_pallas2.py): 0.69 ms vs 1.63 ms for
     the XLA GEMM at n=2M/kmax=31/m_out=20 — the XLA emitter runs every small-K
@@ -241,6 +251,7 @@ def _pallas_transform_inplace(lV: jax.Array, U: jax.Array, m_out: int) -> jax.Ar
         ),
         out_shape=jax.ShapeDtypeStruct(lV.shape, lV.dtype),
         input_output_aliases={1: 0},
+        interpret=interpret,
     )(U[:, :m_out].astype(lV.dtype), lV)
 
 
@@ -254,7 +265,13 @@ def _pallas_leaf_ok(l) -> bool:
 
 
 def transform_partial(V: PyTree, U: jax.Array, m_out: int) -> PyTree:
-    """``V[:m_out] ← (V @ U)[:m_out]``; rows ``>= m_out`` are UNSPECIFIED.
+    """``V[:m_out] ← (V @ U)[:m_out]``; rows ``>= m_out`` hold either their
+    previous contents (TPU in-place Pallas path — guaranteed, see
+    :func:`_pallas_transform_inplace`) or the full rotation ``(V @ U)[m_out:]``
+    (XLA fallback).  The two agree whenever ``U`` acts as the identity on the
+    tail — in particular for the gated-off identity restarts where the solver
+    later reads rows beyond ``m_out``; for genuine restarts the tail is dead
+    by masking.
 
     The thick-restart rotation only needs the ``keep+1`` surviving rows (the
     kept Ritz vectors plus the relocated residual) — every consumer of the
@@ -290,9 +307,13 @@ def append_scaled(y: PyTree, V: PyTree, c: jax.Array, alpha=1.0) -> PyTree:
     return jax.tree_util.tree_map(lambda ly, lv: ly + alpha * lv, y, vc)
 
 
-def gram(X: PyTree, Y: PyTree) -> jax.Array:
+def gram(X: PyTree, Y: PyTree, space: VectorSpace = STANDARD) -> jax.Array:
     """``G[i, j] = ⟨X[i], Y[j]⟩`` between two stacked bases — one GEMM per leaf
-    (used e.g. for the GolubYe projected pencil ``HB = VᴴBV``)."""
+    (used e.g. for the GolubYe projected pencil ``HB = VᴴBV``).  With a custom
+    inner product the GEMM is replaced by a double vmap over ``space.inner``
+    (reference ``block_inner``, ``src/innerproductvec.jl``)."""
+    if space.inner_fn is not None:
+        return jax.vmap(lambda x: jax.vmap(lambda y: space.inner(x, y))(Y))(X)
     parts = []
     for lX, lY in zip(jax.tree_util.tree_leaves(X), jax.tree_util.tree_leaves(Y)):
         nd = lX.ndim - 1
@@ -302,11 +323,14 @@ def gram(X: PyTree, Y: PyTree) -> jax.Array:
                 lX.conj(), lY, ((dims, dims), ((), ())), precision=_HI
             )
         )
-    return sum(parts[1:], parts[0])
+    g = sum(parts[1:], parts[0])
+    return jnp.real(g) if space.real_inner else g
 
 
-def batch_inner(X: PyTree, Y: PyTree) -> jax.Array:
+def batch_inner(X: PyTree, Y: PyTree, space: VectorSpace = STANDARD) -> jax.Array:
     """``c[i] = ⟨X[i], Y[i]⟩`` row-wise between two stacked bases."""
+    if space.inner_fn is not None:
+        return jax.vmap(space.inner)(X, Y)
     parts = []
     for lX, lY in zip(jax.tree_util.tree_leaves(X), jax.tree_util.tree_leaves(Y)):
         nd = lX.ndim - 1
@@ -316,4 +340,5 @@ def batch_inner(X: PyTree, Y: PyTree) -> jax.Array:
                 lX.conj(), lY, ((dims, dims), ((0,), (0,))), precision=_HI
             )
         )
-    return sum(parts[1:], parts[0])
+    c = sum(parts[1:], parts[0])
+    return jnp.real(c) if space.real_inner else c

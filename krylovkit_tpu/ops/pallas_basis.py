@@ -66,7 +66,7 @@ def _project_kernel(k_ref, V_hbm, w_ref, acc_ref, buf, sems, *, kb, br, kmax):
     """
     i = pl.program_id(0)
     k = k_ref[0]
-    nkb = jax.lax.div(k + kb - 1, kb)  # ceil(k / kb), traced
+    nkb = jax.lax.div(k + jnp.int32(kb - 1), jnp.int32(kb))  # ceil(k/kb), traced
 
     @pl.when(i == 0)
     def _():
@@ -89,8 +89,8 @@ def _project_kernel(k_ref, V_hbm, w_ref, acc_ref, buf, sems, *, kb, br, kmax):
         dma(0, 0).start()
 
         def body(j, _):
-            slot = jax.lax.rem(j, 2)
-            nxt = jax.lax.rem(j + 1, 2)
+            slot = jax.lax.rem(j, jnp.int32(2))
+            nxt = jax.lax.rem(j + jnp.int32(1), jnp.int32(2))
 
             @pl.when(j + 1 < nkb)
             def _():
@@ -123,7 +123,7 @@ def _unproject_kernel(k_ref, V_hbm, c_ref, y_ref, buf, ysc, sems, *, kb, br, kma
     """
     i = pl.program_id(0)
     k = k_ref[0]
-    nkb = jax.lax.div(k + kb - 1, kb)
+    nkb = jax.lax.div(k + jnp.int32(kb - 1), jnp.int32(kb))
 
     ysc[...] = jnp.zeros_like(ysc)
 
@@ -142,8 +142,8 @@ def _unproject_kernel(k_ref, V_hbm, c_ref, y_ref, buf, ysc, sems, *, kb, br, kma
         dma(0, 0).start()
 
         def body(j, _):
-            slot = jax.lax.rem(j, 2)
-            nxt = jax.lax.rem(j + 1, 2)
+            slot = jax.lax.rem(j, jnp.int32(2))
+            nxt = jax.lax.rem(j + jnp.int32(1), jnp.int32(2))
 
             @pl.when(j + 1 < nkb)
             def _():

@@ -115,6 +115,14 @@ def _spmv_pallas(x2, diags, offsets, TR: int = 512, interpret: bool = False):
     while R % tr != 0:
         tr //= 2
     QLO, QHI = _window_extent(offsets)
+    # middle tiles read x rows [i·tr − QLO, i·tr + tr + QHI); the first/last
+    # tile special-cases only cover one tile of halo each, so wider halos
+    # would read out of bounds (silently wrong in interpret mode)
+    if not (R // tr >= 2 and QLO <= tr and QHI <= tr):
+        raise ValueError(
+            f"banded window (QLO={QLO}, QHI={QHI}) does not fit tile rows "
+            f"tr={tr} with R={R}; use a larger tile_rows or the XLA fallback"
+        )
     W = QLO + tr + QHI
     nd = len(offsets)
 
@@ -150,7 +158,7 @@ def _spmv_xla(xf, diags, offsets, n):
     for p, d in enumerate(offsets):
         shifted = jnp.roll(xf, -d)
         shifted = jnp.where((idx + d >= 0) & (idx + d < n), shifted, 0)
-        y = y + diags[p].reshape(n) * shifted
+        y = y + diags[p].reshape(-1)[:n] * shifted
     return y
 
 

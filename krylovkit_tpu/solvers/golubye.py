@@ -193,8 +193,8 @@ def geneigsolve_golubye(
             )
 
         # --- projected pencil and Ritz data (all GEMMs, no applies) ---
-        HA = bs.gram(V, AV)
-        HB = bs.gram(V, BV)
+        HA = bs.gram(V, AV, space)
+        HB = bs.gram(V, BV, space)
         D, Z, valid = dense.geneigh_active(HA, HB, k)
         perm = dense.sort_perm(D.astype(cdt), valid, which)
         D = D[perm]
@@ -205,8 +205,8 @@ def geneigsolve_golubye(
         Rv = bs.transform(V, Zm)
         Rav = bs.transform(AV, Zm)
         Rbv = bs.transform(BV, Zm)
-        num = jnp.real(bs.batch_inner(Rv, Rav))
-        den = jnp.real(bs.batch_inner(Rv, Rbv))
+        num = jnp.real(bs.batch_inner(Rv, Rav, space))
+        den = jnp.real(bs.batch_inner(Rv, Rbv, space))
         rhos = num / jnp.where(jnp.abs(den) > 0, den, 1)
         Rres = jax.tree_util.tree_map(
             lambda la, lb: la
@@ -214,7 +214,7 @@ def geneigsolve_golubye(
             Rav,
             Rbv,
         )
-        betas = jnp.sqrt(jnp.maximum(jnp.real(bs.batch_inner(Rres, Rres)), 0))
+        betas = jnp.sqrt(jnp.maximum(jnp.real(bs.batch_inner(Rres, Rres, space)), 0))
         znorm = jnp.sqrt(jnp.sum(jnp.abs(Zm) ** 2, axis=0))
         flags = betas[:howmany] <= tol * jnp.maximum(znorm[:howmany], 1e-30)
         nconv = jnp.sum(jnp.cumprod(flags.astype(jnp.int32))).astype(jnp.int32)

@@ -88,3 +88,61 @@ def test_geneig_callable_pencil():
     )
     w, _ = dense_geneig(A, B)
     assert np.allclose(np.asarray(vals)[0], w[0], atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity matrix (test/geneigsolve.jl:1-25): dtype × orth, incl. f32
+# at eps^(2/3), with B-orthonormality and residual identities.
+# ---------------------------------------------------------------------------
+
+from krylovkit_tpu import cgs2, mgs2, cgsir, mgsir
+from testsetup import as_pytree, pytree_matvec
+
+ORTHS = {"cgs2": cgs2, "mgs2": mgs2, "cgsir": cgsir, "mgsir": mgsir}
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64,
+                                   np.complex64, np.complex128])
+@pytest.mark.parametrize("orth", list(ORTHS))
+def test_geneig_full_matrix(dtype, orth):
+    rng = np.random.default_rng(45)
+    A, B = make_pencil(rng, n, dtype)
+    x0 = rand_vec(rng, n, dtype)
+    tol = precision(dtype)
+    howmany = n // 2
+    vals, vecs, info = kk.geneigsolve(
+        (A, B), jnp.asarray(x0), howmany, "SR",
+        krylovdim=n, tol=tol, maxiter=3, orth=ORTHS[orth],
+    )
+    w, _ = dense_geneig(A.astype(np.complex128), B.astype(np.complex128))
+    got = np.sort(np.real(np.asarray(vals[:howmany])))
+    assert np.allclose(got, np.real(w[:howmany]), atol=500 * tol)
+    # B-orthonormality U'BU ≈ I and residual A U ≈ B U diag(D)
+    V = np.asarray(vecs).T[:, :howmany]
+    D = np.real(np.asarray(vals[:howmany]))
+    G = V.conj().T @ B @ V
+    assert np.linalg.norm(G - np.eye(howmany)) <= 1000 * tol
+    assert np.linalg.norm(A @ V - (B @ V) * D) <= 2000 * tol
+
+
+def test_geneig_pytree_mode():
+    """The reference's wrapped-vector modes → pytree operators here."""
+    rng = np.random.default_rng(46)
+    dtype = np.float64
+    A, B = make_pencil(rng, n, dtype)
+    x0 = rand_vec(rng, n, dtype)
+    vals, vecs, info = kk.geneigsolve(
+        (pytree_matvec(A), pytree_matvec(B)), as_pytree(x0), 2, "SR",
+        krylovdim=n, tol=1e-10, maxiter=50,
+    )
+    w, _ = dense_geneig(A, B)
+    assert int(info.converged) >= 2
+    assert np.allclose(np.real(np.asarray(vals)), w[:2], atol=1e-7)
+    # vecs come back as pytrees with the same structure
+    v0 = jax.tree_util.tree_map(lambda l: l[0], vecs)
+    v = np.concatenate([np.asarray(v0["a"]), np.asarray(v0["b"])])
+    lam = float(np.real(np.asarray(vals)[0]))
+    assert np.linalg.norm(A @ v - lam * (B @ v)) <= 1e-6 * np.linalg.norm(v)
+
+
+import jax  # noqa: E402  (used by test_geneig_pytree_mode)
