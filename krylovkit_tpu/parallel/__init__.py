@@ -4,5 +4,6 @@ from .sparse import (  # noqa: F401
     ShardedELLOperator,
     sharded_ell_from_coo,
     banded_coo,
+    powerlaw_rect_coo,
     rect_sparse_coo,
 )

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope(fn, x, r_lo=5, r_hi=45):
+def slope(fn, x, r_lo=10, r_hi=90):
     """(t(r_hi) - t(r_lo)) / (r_hi - r_lo) of a chained-apply loop.
 
     Prefers an in-device fori_loop (single dispatch); the remote compiler
@@ -35,28 +35,29 @@ def slope(fn, x, r_lo=5, r_hi=45):
         def body(_, v):
             return fn(v) * 0.25  # keep values bounded; adds 1 VPU op
 
-        return jax.lax.fori_loop(0, r, body, x)
+        # scalar end fetch: block_until_ready returns early for some pallas
+        # outputs on the axon tunnel (CLAUDE.md) — a device_get of a reduction
+        # is the only trustworthy completion barrier
+        return jnp.sum(jax.lax.fori_loop(0, r, body, x))
 
     def timed_fori(r):
-        y = loop(x, r)
-        jax.block_until_ready(y)
+        float(loop(x, r))
         t0 = time.perf_counter()
-        y = loop(x, r)
-        jax.block_until_ready(y)
+        float(loop(x, r))
         return time.perf_counter() - t0
 
     step = jax.jit(lambda v: fn(v) * 0.25)
 
     def timed_chain(r):
-        y = x
-        for _ in range(r):
-            y = step(y)
-        jax.block_until_ready(y)
+        def run():
+            y = x
+            for _ in range(r):
+                y = step(y)
+            return float(jnp.sum(y))
+
+        run()
         t0 = time.perf_counter()
-        y = x
-        for _ in range(r):
-            y = step(y)
-        jax.block_until_ready(y)
+        run()
         return time.perf_counter() - t0
 
     try:
