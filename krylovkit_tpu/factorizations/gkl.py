@@ -127,7 +127,7 @@ def expand(
         # domain half-step: subtract the known row components, one drift sweep
         rowk = jax.lax.dynamic_slice(B, (ki, jnp.int32(0)), (1, m1))[0]
         rowk = bs.mask_coeffs(rowk, k)
-        w = add(w, bs.unproject(V, jnp.conj(rowk)), a=-1)
+        w = add(w, bs.unproject_bucketed(V, jnp.conj(rowk), k), a=-1)
         v_new, alpha, _ = on.orthonormalize(w, V, k, sweep, space)
         V = bs.set(V, k, v_new)
 

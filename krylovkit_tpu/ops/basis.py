@@ -108,6 +108,48 @@ def set(V: PyTree, j, v: PyTree) -> PyTree:
     )
 
 
+def prefix(V: PyTree, B: int) -> PyTree:
+    """Static row-prefix of a stacked basis: the first ``B`` rows of every
+    leaf.  A contiguous leading-axis slice — XLA reads it in place (layout
+    unchanged), so contractions against the prefix stream only ``B`` rows of
+    HBM instead of ``kmax`` (the bucketed-sweep fast path in
+    ``ops/orthonormal.py``)."""
+    return jax.tree_util.tree_map(
+        lambda l: jax.lax.slice_in_dim(l, 0, B, axis=0), V
+    )
+
+
+def buckets_for(kmax: int):
+    """Static prefix sizes for bucketed basis reads (quartiles of ``kmax``)."""
+    if kmax < 8:
+        return (kmax,)
+    return tuple(sorted({-(-kmax // 4), -(-kmax // 2), -(-3 * kmax // 4), kmax}))
+
+
+def bucket_index(k, buckets):
+    """Traced index of the smallest bucket ``B >= k``."""
+    return sum(
+        (jnp.asarray(k, jnp.int32) > b).astype(jnp.int32) for b in buckets[:-1]
+    )
+
+
+def unproject_bucketed(V: PyTree, c: jax.Array, k) -> PyTree:
+    """``V c`` reading only the smallest static row-prefix ``B >= k`` of the
+    basis (``c`` must be masked beyond ``k``); falls back to the full
+    :func:`unproject` when bucketing cannot help."""
+    kmax = jax.tree_util.tree_leaves(V)[0].shape[0]
+    buckets = buckets_for(kmax)
+    if len(buckets) == 1:
+        return unproject(V, c)
+
+    def make_branch(B):
+        return lambda c, V: unproject(prefix(V, B), jax.lax.slice(c, (0,), (B,)))
+
+    return jax.lax.switch(
+        bucket_index(k, buckets), [make_branch(B) for B in buckets], c, V
+    )
+
+
 def mask_coeffs(c: jax.Array, k) -> jax.Array:
     """Zero out entries ``j >= k`` of a coefficient vector."""
     idx = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)

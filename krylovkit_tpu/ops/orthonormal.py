@@ -94,7 +94,37 @@ cgsir = ClassicalGramSchmidtIR()
 mgsir = ModifiedGramSchmidtIR()
 
 
+# Bucketed CGS sweeps: the XLA lowering of project/unproject streams the FULL
+# (kmax, …) basis buffer every step because the active length k is traced.
+# With bucketing, a lax.switch picks the smallest static row-prefix B ≥ k and
+# both contractions read only B rows — a contiguous static leading-axis slice
+# (layout unchanged), saving ~(1 − avg(B)/kmax) of the dominant HBM traffic of
+# every Krylov solver.  On-chip A/B: tools/tpu_measure_all.py §2 (flag off/on).
+use_bucketed_sweeps = True
+
+
 def _cgs_sweep(w, V, k, space):
+    kmax = _capacity(V)
+    buckets = bs.buckets_for(kmax)
+    if (
+        use_bucketed_sweeps
+        and len(buckets) > 1
+        and space.inner_fn is None
+        and not bs.use_pallas_projections
+    ):
+        cdt = _coeff_dtype(V, w, space)
+
+        def make_branch(B):
+            def br(w, V):
+                Vb = bs.prefix(V, B)
+                c = bs.project(Vb, w, k, space)
+                w2 = add(w, bs.unproject(Vb, c), a=-1)
+                return w2, jnp.pad(c, (0, kmax - B)).astype(cdt)
+
+            return br
+
+        idx = bs.bucket_index(k, buckets)
+        return jax.lax.switch(idx, [make_branch(B) for B in buckets], w, V)
     c = bs.project(V, w, k, space)
     w = add(w, bs.unproject(V, c, k), a=-1)
     return w, c

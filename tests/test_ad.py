@@ -311,3 +311,51 @@ def test_parametric_operator_gradient():
     eps = 1e-6
     fd = (float(smallest(g0 + eps)) - float(smallest(g0 - eps))) / (2 * eps)
     assert abs(dE - fd) < 1e-6 * max(1.0, abs(fd))
+
+
+def test_ad_repeated_eigsolve_block_cyclic():
+    """Reference ``test/ad/repeatedeigsolve.jl``: gradients through eigsolve on
+    the block-cyclic matrix M = [[0,0,C],[A,0,0],[0,B,0]], whose dominant
+    eigenvalues form an equal-|λ| triplet (cube-roots-of-unity structure) —
+    the stress case for the rrule under clustered/repeated magnitudes.  The
+    gauge-invariant loss |λ₀|² is compared against finite differences in the
+    blocks A, B, C."""
+    rng = np.random.default_rng(97)
+    m = 6
+    A = rand_mat(rng, m, m, np.float64) + 2 * np.eye(m)
+    B = rand_mat(rng, m, m, np.float64) + 2 * np.eye(m)
+    C = rand_mat(rng, m, m, np.float64) + 2 * np.eye(m)
+    x0 = rand_vec(rng, 3 * m, np.float64)
+    Z = jnp.zeros((m, m))
+
+    def build(Aj, Bj, Cj):
+        return jnp.block([[Z, Z, Cj], [Aj, Z, Z], [Z, Bj, Z]])
+
+    def loss(Aj, Bj, Cj):
+        M = build(Aj, Bj, Cj)
+        vals, vecs, info = kk.eigsolve(
+            M, jnp.asarray(x0), 1, "LM", tol=1e-12, krylovdim=3 * m,
+            maxiter=50,
+        )
+        lam = vals[0]
+        return jnp.real(lam * jnp.conj(lam))
+
+    gA, gB, gC = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(C)
+    )
+    eps = 1e-6
+    rng2 = np.random.default_rng(1)
+    for name, g, block in (("A", gA, A), ("B", gB, B), ("C", gC, C)):
+        for _ in range(3):
+            i, j = rng2.integers(0, m, 2)
+            bp = block.copy(); bp[i, j] += eps
+            bm = block.copy(); bm[i, j] -= eps
+            args_p = {"A": (bp, B, C), "B": (A, bp, C), "C": (A, B, bp)}[name]
+            args_m = {"A": (bm, B, C), "B": (A, bm, C), "C": (A, B, bm)}[name]
+            fd = (
+                float(loss(*map(jnp.asarray, args_p)))
+                - float(loss(*map(jnp.asarray, args_m)))
+            ) / (2 * eps)
+            assert abs(float(np.asarray(g)[i, j]) - fd) < 1e-4, (
+                name, i, j, float(np.asarray(g)[i, j]), fd,
+            )
