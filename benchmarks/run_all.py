@@ -66,9 +66,11 @@ def config2():
     def solve_cg(b):
         # shifted system (0.5 + L) x = b: kappa ~ 17, CONVERGENT in f32
         # (VERDICT r2: the raw Poisson kappa~4e5 solve stagnates in f32 and a
-        # fixed-budget run benches nothing) — reports iters-to-tol + throughput
+        # fixed-budget run benches nothing) — reports iters-to-tol + throughput.
+        # tol is ABSOLUTE ||r||; ||b|| = 1024, so 5e-5 is ~5e-8 relative —
+        # just above the measured f32 floor (~1.1e-5) with margin
         x, info = kk.linsolve(op, b, a0=0.5, ishermitian=True, isposdef=True,
-                              alg=kk.CG(tol=1e-5, maxiter=400))
+                              alg=kk.CG(tol=5e-5, maxiter=400))
         return x, info.numops, info.normres, info.numiter, info.converged
 
     dt, (x, numops, nres, niter, conv) = timed(solve_cg, b)
