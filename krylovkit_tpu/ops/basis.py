@@ -120,10 +120,19 @@ def prefix(V: PyTree, B: int) -> PyTree:
 
 
 def buckets_for(kmax: int):
-    """Static prefix sizes for bucketed basis reads (quartiles of ``kmax``)."""
+    """Static prefix sizes for bucketed basis reads.
+
+    Step-4 ladder plus ``kmax - 1`` and ``kmax``.  The ``kmax - 1`` bucket
+    matters because the capacity is ``krylovdim + 1`` while expansion sweeps
+    orthogonalize against at most ``krylovdim`` rows — without it every
+    late-stage sweep streams one dead basis row per pass.  On-chip A/B
+    (tools/tpu_measure_all.py §1): each prefix contraction runs at the HBM
+    roofline, so the saving is exactly the dropped rows (~6-8% of solver HBM
+    traffic at krylovdim=30 vs the old quartile ladder)."""
     if kmax < 8:
         return (kmax,)
-    return tuple(sorted({-(-kmax // 4), -(-kmax // 2), -(-3 * kmax // 4), kmax}))
+    # NB: builtins.set is shadowed by this module's basis-update `set`
+    return tuple(sorted({*range(4, kmax, 4), kmax - 1, kmax}))
 
 
 def bucket_index(k, buckets):

@@ -129,3 +129,35 @@ def test_custom_inner_orthogonalization():
     v, beta, c = on.orthonormalize(w, V, 1, on.cgs2, space)
     assert abs(float(space.inner(v0, v))) < 1e-12
     assert np.allclose(float(space.norm(v)), 1.0)
+
+
+@pytest.mark.parametrize("kmax", [6, 9, 16, 31])
+def test_bucketed_cgs_sweep_matches_unbucketed_for_every_k(kmax, monkeypatch):
+    """The lax.switch bucket ladder must reproduce the full-basis sweep to
+    machine precision at EVERY active length k (prefix reads + masking only
+    change which rows stream from HBM; the reduction *size* differs, so XLA's
+    blocked accumulation order may differ by ULPs, never more)."""
+    rng = np.random.default_rng(21)
+    m = 40
+    V, Q = make_basis(rng, kmax, min(kmax, m) - 1, m, np.float64)
+    w = jnp.asarray(rand_vec(rng, m, np.float64))
+    space = vec.STANDARD
+    for k in range(1, kmax + 1):
+        kt = jnp.int32(k)
+        monkeypatch.setattr(on, "use_bucketed_sweeps", True)
+        wb, cb = jax.jit(lambda w, V, k: on._cgs_sweep(w, V, k, space))(w, V, kt)
+        monkeypatch.setattr(on, "use_bucketed_sweeps", False)
+        wf, cf = jax.jit(lambda w, V, k: on._cgs_sweep(w, V, k, space))(w, V, kt)
+        np.testing.assert_allclose(np.asarray(wb), np.asarray(wf), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(cb), np.asarray(cf), atol=1e-14)
+
+
+def test_bucket_ladder_covers_every_k():
+    for kmax in range(1, 64):
+        buckets = bs.buckets_for(kmax)
+        assert buckets[-1] == kmax
+        for k in range(0, kmax + 1):
+            idx = int(bs.bucket_index(jnp.int32(k), buckets))
+            assert buckets[idx] >= k, (kmax, k, buckets)
+            # smallest covering bucket (no dead rows beyond the ladder spacing)
+            assert idx == 0 or buckets[idx - 1] < k
