@@ -12,7 +12,9 @@ using ``linsolve`` with ``alg_rrule`` — the pullback is itself a Krylov solve
 on tuple vectors (SURVEY.md §3.5).  The operator cotangent is
 ``Ā_CR = Σᵢ wᵢ vᵢᴴ``, delivered generically through the operator's pytree
 leaves.  Gauge-sensitive cotangent components (``Im⟨v, Δv⟩``) are projected
-out, as in the reference (which warns; invisible under jit).
+out, as in the reference; when the pullback runs eagerly (outside ``jit``)
+a debug-mode warning fires first (``ad/gauge.py``), mirroring the
+reference's gauge-sensitivity warnings.
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ import jax.numpy as jnp
 from ..algorithms import GMRES
 from ..ops.operator import LinearOperator
 from ..ops.vector import zerovector
+from .gauge import warn_gauge_eager
 
 PyTree = Any
 
@@ -100,6 +103,13 @@ def _bwd_gmres(howmany, which, alg, alg_rrule, space, res, cot):
         dlam = jnp.conj(lbar_J[i]).astype(cdt)  # CR cotangent
         dv = _conj(_row(vbar_J, i))
         vddv = space.inner(v, dv)
+        # debug-mode gauge warning (reference ext/.../eigsolve.jl:150-156)
+        warn_gauge_eager(
+            jnp.abs(jnp.imag(vddv)), alg.tol,
+            getattr(alg_rrule or alg, "verbosity", 1),
+            f"`eigsolve` cotangent for eigenvector {i} is sensitive to gauge "
+            "choice: (|gauge| = {gauge})",
+        )
         dv = jax.tree_util.tree_map(
             lambda a, b: a - vddv.astype(a.dtype) * b, dv, v
         )
@@ -167,6 +177,16 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
     # VdΔV[i, j] = <v_i, Δv_j>  — one Gram GEMM on the stacked bases
     VdDV = bs.gram(vecs, dvecs)[:n, :n].astype(cdt)
     a = (VdDV - VdDV.conj().T) / 2
+    # debug-mode gauge warning (reference ext/.../eigsolve.jl:334-341): the
+    # antihermitian part within (near-)degenerate clusters is pure gauge
+    _degmask = (
+        jnp.abs(vals[None, :n] - vals[:n, None]).astype(rdt) < tol
+    )
+    warn_gauge_eager(
+        jnp.max(jnp.abs(jnp.where(_degmask, a, 0))), tol,
+        getattr(alg_rrule or alg, "verbosity", 1),
+        "`eigsolve` cotangents sensitive to gauge choice: (|gauge| = {gauge})",
+    )
     gaps = vals[None, :n].astype(cdt) - vals[:n, None].astype(cdt)
     inv_gaps = jnp.where(jnp.abs(gaps) < tol, 0, 1 / jnp.where(gaps == 0, 1, gaps))
     a = a * inv_gaps + jnp.diag(jnp.real(dvals).astype(cdt))
@@ -299,6 +319,17 @@ def _bwd_sylvester_general(howmany, which, alg, alg_rrule, space, res, cot):
 
     G = bs.gram(vecs, vecs)[:n, :n].astype(cdt)
     VdDV = bs.gram(vecs, dvecs)[:n, :n].astype(cdt)
+    # debug-mode gauge warning (reference ext/.../eigsolve.jl:207-213):
+    # off-diagonal cotangent overlaps within degenerate clusters are gauge
+    _degmask = jnp.abs(vals[None, :n] - vals[:n, None]).astype(rdt) < tol
+    _gaugepart = jnp.where(
+        _degmask, VdDV - jnp.diag(jnp.real(jnp.diagonal(VdDV))).astype(cdt), 0
+    )
+    warn_gauge_eager(
+        jnp.max(jnp.abs(_gaugepart)), tol,
+        getattr(alg_rrule or alg, "verbosity", 1),
+        "`eigsolve` cotangents sensitive to gauge choice: (|Δgauge| = {gauge})",
+    )
     # remove the gauge (diagonal) components: VdΔV' = VdΔV − G·Diag(diag/diagG)
     dratio = jnp.diagonal(VdDV) / jnp.diagonal(G)
     VdDVp = VdDV - G * dratio[None, :]

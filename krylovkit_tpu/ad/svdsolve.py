@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..algorithms import GMRES
 from ..ops.operator import LinearOperator
 from ..ops.vector import zerovector
+from .gauge import warn_gauge_eager
 
 PyTree = Any
 
@@ -101,6 +102,13 @@ def _bwd_gmres(howmany, which, alg, alg_rrule, space, res, cot):
         dv = _conj(_row(vbar_J, i))
         uddu = space.inner(u, du)
         vddv = space.inner(v, dv)
+        # debug-mode gauge warning (reference ext/.../svdsolve.jl:129-133)
+        warn_gauge_eager(
+            jnp.abs(jnp.imag(uddu + vddv)), alg.tol,
+            getattr(alg_rrule or alg, "verbosity", 1),
+            f"`svdsolve` cotangents for singular vectors {i} are sensitive "
+            "to gauge choice: (|gauge| = {gauge})",
+        )
         if jnp.issubdtype(cdt, jnp.complexfloating):
             ds = jnp.real(dsig) + 1j * jnp.imag(uddu - vddv) / (2 * sig)
         else:
@@ -180,6 +188,14 @@ def _bwd_sylvester(howmany, which, alg, alg_rrule, space, res, cot):
     VdDV = bs.gram(rvecs, drv)[:n, :n].astype(cdt)
     aU = (UdDU - UdDU.conj().T) / 2
     aV = (VdDV - VdDV.conj().T) / 2
+    # debug-mode gauge warning (reference ext/.../svdsolve.jl:185-190)
+    _degmask = jnp.abs(sig[None, :] - sig[:, None]) < tol
+    warn_gauge_eager(
+        jnp.max(jnp.abs(jnp.where(_degmask, aU + aV, 0))), tol,
+        getattr(alg_rrule or alg, "verbosity", 1),
+        "`svdsolve` cotangents for singular vectors are sensitive to gauge "
+        "choice: (|gauge| = {gauge})",
+    )
 
     def safe_inv(m):
         return jnp.where(jnp.abs(m) < tol, 0, 1 / jnp.where(m == 0, 1, m))

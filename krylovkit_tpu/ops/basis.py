@@ -128,11 +128,19 @@ def buckets_for(kmax: int):
     late-stage sweep streams one dead basis row per pass.  On-chip A/B
     (tools/tpu_measure_all.py §1): each prefix contraction runs at the HBM
     roofline, so the saving is exactly the dropped rows (~6-8% of solver HBM
-    traffic at krylovdim=30 vs the old quartile ladder)."""
+    traffic at krylovdim=30 vs the old quartile ladder).
+
+    Compile-time tradeoff: every bucket is a ``lax.switch`` branch duplicating
+    the projection/unprojection contraction inside the solver while_loop, so
+    program size grows with the ladder length.  The step therefore coarsens
+    for large ``kmax`` (4 up to 64, then 8/16), capping the ladder at ~17
+    rungs; the over-read this admits is bounded by ``step/kmax`` of the sweep
+    traffic, which shrinks exactly when the ladder would otherwise explode."""
     if kmax < 8:
         return (kmax,)
+    step = 4 if kmax <= 64 else 8 if kmax <= 128 else 16
     # NB: builtins.set is shadowed by this module's basis-update `set`
-    return tuple(sorted({*range(4, kmax, 4), kmax - 1, kmax}))
+    return tuple(sorted({*range(step, kmax, step), kmax - 1, kmax}))
 
 
 def bucket_index(k, buckets):

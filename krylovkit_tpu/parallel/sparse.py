@@ -69,8 +69,16 @@ def coo_to_ell(rows, cols, vals, n_rows: int):
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals)
-    order = np.lexsort((cols, rows))
-    r, c, v = rows[order], cols[order], vals[order]
+    # group by row only — ELL slots within a row are order-free, so a single
+    # stable key sort replaces the 2-key lexsort; already-row-sorted input
+    # (CSR-style streams) skips the sort entirely.  Measured at 107M nnz
+    # (tools/bench_planner.py): 42-46 s (lexsort) → 33-34 s (stable argsort)
+    # per direction; the remainder is the 3 gathers + the ELL scatter.
+    if rows.size and np.all(rows[1:] >= rows[:-1]):
+        r, c, v = rows, cols, vals
+    else:
+        order = np.argsort(rows, kind="stable")
+        r, c, v = rows[order], cols[order], vals[order]
     counts = np.bincount(r, minlength=n_rows)
     width = int(counts.max()) if counts.size else 0
     width = max(width, 1)
@@ -109,9 +117,13 @@ def _plan_shard(ell_cols, ell_vals, valid, m, n, D):
     compressed **boundary** part (only rows with off-shard columns, addressing
     the packed halo buffer), and build the per-round ``ppermute`` send lists.
 
-    Fully vectorized: one global lexsort/group-by over ``(shard, δ, column)``
-    replaces any per-shard Python loops, so planning a 100M-nnz matrix is
-    seconds, not minutes.
+    Fully vectorized: one global group-by over ``(shard, δ, column)`` replaces
+    any per-shard Python loops.  Measured (tools/bench_planner.py, 107M-nnz
+    banded, D=8, 2026-08-20): pure ``_plan_shard`` is **2.5-3.0 s per
+    direction**; end-to-end operator construction is dominated by the
+    ``coo_to_ell`` packing (~34 s/direction at 107M — sort + gathers +
+    scatter) and the sharded ``device_put`` (~4-8 s steady state, ~26 s on
+    first backend touch).
 
     Returns ``(local_cols (m,w) int32, local_vals (m,w),
     brows (D·B,) int32, bcols (D·B,w) int32, bvals (D·B,w),

@@ -285,7 +285,7 @@ def schursolve(
         converged=jnp.minimum(st.nconv, howmany),
         residual=residuals,
         normres=st.resnorms[:howmany],
-        numiter=st.numiter,
+        numiter=jnp.maximum(st.numiter, jnp.int32(1)),
         numops=st.numops,
     )
     return Tsmall, vecs, vals, info
@@ -356,7 +356,7 @@ def eigsolve_arnoldi(
         converged=jnp.minimum(st.nconv, howmany),
         residual=residuals,
         normres=normres,
-        numiter=st.numiter,
+        numiter=jnp.maximum(st.numiter, jnp.int32(1)),
         numops=st.numops,
     )
     return vals, vecs, info
@@ -423,7 +423,7 @@ def realeigsolve_arnoldi(
         converged=jnp.minimum(st.nconv, howmany),
         residual=residuals,
         normres=jnp.abs(s)[:howmany],
-        numiter=st.numiter,
+        numiter=jnp.maximum(st.numiter, jnp.int32(1)),
         numops=st.numops,
     )
     return vals, vecs, info, maximag

@@ -383,8 +383,10 @@ def bieigsolve_driver(
         lambda l: kT.reshape((hm,) + (1,) * l.ndim).astype(l.dtype) * l[None], rWc
     )
     conv = jnp.minimum(st.nconv, hm)
-    infoV = ConvergenceInfo(conv, residualsV, resnV, st.numiter, st.numops)
-    infoW = ConvergenceInfo(conv, residualsW, resnW, st.numiter, st.numops)
+    # reference numiter starts at 1 (src/eigsolve/biarnoldi.jl)
+    _it = jnp.maximum(st.numiter, jnp.int32(1))
+    infoV = ConvergenceInfo(conv, residualsV, resnV, _it, st.numops)
+    infoW = ConvergenceInfo(conv, residualsW, resnW, _it, st.numops)
     return vals, (vecsV, vecsW), (infoV, infoW)
 
 

@@ -195,7 +195,7 @@ def eigsolve_blocklanczos(
         converged=jnp.minimum(st.nconv, howmany),
         residual=residuals,
         normres=st.resnorms[:howmany],
-        numiter=st.numiter,
+        numiter=jnp.maximum(st.numiter, jnp.int32(1)),
         numops=st.numops,
     )
     return st.vals[:howmany], vecs, info

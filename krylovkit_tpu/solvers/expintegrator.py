@@ -214,10 +214,12 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
         done=jnp.asarray(False),
         fixedpt=jnp.asarray(False),
     )
-    # immediate fixed-point detection (reference :127-135)
+    # immediate fixed-point detection (reference :127-135); the reference
+    # reports numiter = 0 on this exit (":163: ConvergenceInfo(1, …, 0, numops)")
     if p == 1:
         st0 = st0._replace(
             done=beta0 < eta, fixedpt=beta0 < eta,
+            numiter=jnp.where(beta0 < eta, jnp.int32(0), jnp.int32(1)),
         )
 
     def take_step(st, expH, dtau_eff, eps_):
@@ -394,9 +396,13 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
             if p == 1:
                 fixed = beta < eta
             fact = kf.initialize(wp1, m, cdt, space, vec_dtype=cdt)
+            # a fixed point detected here exits BEFORE the reference increments
+            # numiter (src/matrixfun/expintegrator.jl:299-304 returns, :319 is
+            # the increment) — report the pre-restart iteration count
             return st._replace(
                 fact=fact, w=wnew, wp1=wp1, beta=beta,
-                numiter=st.numiter + 1, numops=numops,
+                numiter=jnp.where(fixed, st.numiter, st.numiter + 1),
+                numops=numops,
                 done=st.done | fixed, fixedpt=fixed,
             )
 

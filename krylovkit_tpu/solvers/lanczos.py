@@ -277,23 +277,26 @@ def eigsolve_lanczos(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )
     nconv_out = jnp.minimum(st.nconv, howmany)
+    # reference numiter starts at 1 (src/eigsolve/lanczos.jl:22) — a solve
+    # converging before the subspace ever fills still reports numiter = 1
+    numiter_out = jnp.maximum(st.numiter, jnp.int32(1))
     log_if(
         alg.verbosity, STARTSTOP,
         "Lanczos eigsolve finished after {it} iterations: {nc} values "
         "converged, numops = {no}, normres = {nr}",
-        it=st.numiter, nc=nconv_out, no=st.numops, nr=st.resnorms[:howmany],
+        it=numiter_out, nc=nconv_out, no=st.numops, nr=st.resnorms[:howmany],
     )
     warn_if(
         alg.verbosity, nconv_out < howmany,
         "Lanczos eigsolve stopped without convergence: {nc} of "
         f"{howmany} values converged " + "after {it} iterations",
-        nc=nconv_out, it=st.numiter,
+        nc=nconv_out, it=numiter_out,
     )
     info = ConvergenceInfo(
         converged=nconv_out,
         residual=residuals,
         normres=st.resnorms[:howmany],
-        numiter=st.numiter,
+        numiter=numiter_out,
         numops=st.numops,
     )
     return st.vals[:howmany], vecs, info

@@ -244,7 +244,7 @@ def svdsolve_gkl(
         converged=jnp.minimum(st.nconv, howmany),
         residual=residuals,
         normres=st.resnorms[:howmany],
-        numiter=st.numiter,
+        numiter=jnp.maximum(st.numiter, jnp.int32(1)),
         numops=st.numops,
     )
     return st.svals[:howmany], lvecs, rvecs, info

@@ -359,3 +359,46 @@ def test_ad_repeated_eigsolve_block_cyclic():
             assert abs(float(np.asarray(g)[i, j]) - fd) < 1e-4, (
                 name, i, j, float(np.asarray(g)[i, j]), fd,
             )
+
+
+def test_ad_gauge_warning_eager():
+    """Debug-mode gauge-sensitivity warnings (reference
+    ext/.../eigsolve.jl:150-156, 334-341; svdsolve.jl:129-133): a loss that
+    depends on the arbitrary eigenvector phase produces a cotangent with a
+    gauge component; outside jit the pullback warns before projecting it out."""
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = jnp.asarray(M + M.conj().T)
+    c = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    x0 = jnp.asarray(rng.standard_normal(n) + 0j)
+
+    def loss(A, **kw):
+        vals, vecs, info = kk.eigsolve(
+            A, x0, 1, "LM", tol=1e-10, krylovdim=n, maxiter=40, **kw
+        )
+        v0 = jax.tree_util.tree_map(lambda l: l[0], vecs)
+        return jnp.imag(jnp.vdot(c, v0))  # phase-sensitive functional
+
+    # GMRES pullback path
+    with pytest.warns(UserWarning, match="gauge"):
+        jax.grad(loss)(A)
+    # Sylvester (Lanczos primal, Arnoldi alg_rrule) pullback path
+    with pytest.warns(UserWarning, match="gauge"):
+        jax.grad(lambda A: loss(A, alg_rrule=kk.Arnoldi(krylovdim=n, tol=1e-10)))(A)
+
+    # svdsolve GMRES path
+    R = jnp.asarray(
+        rng.standard_normal((n + 2, n)) + 1j * rng.standard_normal((n + 2, n))
+    )
+    u0 = jnp.asarray(rng.standard_normal(n + 2) + 0j)
+    cu = jnp.asarray(rng.standard_normal(n + 2) + 1j * rng.standard_normal(n + 2))
+
+    def loss_svd(R):
+        vals, lv, rv, info = kk.svdsolve(
+            R, u0, 1, "LR", tol=1e-10, krylovdim=n, maxiter=40
+        )
+        u = jax.tree_util.tree_map(lambda l: l[0], lv)
+        return jnp.imag(jnp.vdot(cu, u))
+
+    with pytest.warns(UserWarning, match="gauge"):
+        jax.grad(loss_svd)(R)

@@ -59,10 +59,14 @@ def main():
     solve_new = make_solve()
     jax.device_get(solve_new(x0))  # compile with new ladder
 
+    # try/finally: if solve_old's compile throws, the process-global ladder
+    # must not stay monkeypatched (trap when copied into one-process batteries)
     bs.buckets_for = quartile_ladder
-    solve_old = make_solve()
-    jax.device_get(solve_old(x0))  # compile with old ladder
-    bs.buckets_for = ladder_new
+    try:
+        solve_old = make_solve()
+        jax.device_get(solve_old(x0))  # compile with old ladder
+    finally:
+        bs.buckets_for = ladder_new
 
     print(f"ladders: old={quartile_ladder(31)} new={ladder_new(31)}", flush=True)
     res = {"old": [], "new": []}

@@ -68,8 +68,6 @@ def main():
     # --- 3. trivial dispatch cost ---
     triv = jax.jit(lambda x: x * 1.000001)
     jax.device_get(triv(x0))
-    for reps in (10, 40):
-        pass
     t10 = chain_time(triv, x0, 10)
     t40 = chain_time(triv, x0, 40)
     disp = (t40 - t10) / 30
@@ -109,11 +107,17 @@ def main():
 
     f2, f6 = make_loop(2), make_loop(6)
     jax.device_get(f2(x0)); jax.device_get(f6(x0))
-    t0 = time.perf_counter(); jax.device_get(f2(x0))
-    t1 = time.perf_counter(); jax.device_get(f6(x0))
-    t2 = time.perf_counter()
-    ondev = ((t2 - t1) - (t1 - t0)) / 4
-    print(f"in-device per-solve (maxiter=10): {ondev*1e3:.2f} ms", flush=True)
+    # several rounds, min of the differences: a single (t2-t1)-(t1-t0) sample
+    # can be dominated by tunnel round-trip jitter (25 ms-1 s, CLAUDE.md)
+    diffs = []
+    for _ in range(5):
+        t0 = time.perf_counter(); jax.device_get(f2(x0))
+        t1 = time.perf_counter(); jax.device_get(f6(x0))
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    ondev = min(diffs) / 4
+    print(f"in-device per-solve (maxiter=10): {ondev*1e3:.2f} ms "
+          f"(min of {len(diffs)} rounds)", flush=True)
     print(f"=> client-side overhead per dispatched solve: "
           f"{(per_solve[10]-ondev)*1e3:.2f} ms", flush=True)
 
