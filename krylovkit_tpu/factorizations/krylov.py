@@ -411,3 +411,178 @@ def expand_hermitian_selective(
         H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
     )
     return KrylovState(V, H, k + 1, beta), om_out, om_cur, need_sweep
+
+
+# --------------------------------------------------------------------------
+# Fused expansion loop (stencil operators, single-leaf f32 TPU layout)
+# --------------------------------------------------------------------------
+
+# Master switch for the fused Lanczos expansion (ops/pallas_fused_lanczos.py):
+# one basis stream per step instead of two.  ``fused_interpret`` runs the
+# kernel in Pallas interpret mode so CPU tests exercise the exact same path.
+use_fused_expansion = True
+fused_interpret = False
+
+
+def fused_available(op, x0, space: VectorSpace) -> bool:
+    """Static eligibility of the one-stream fused expansion: a real
+    constant-coefficient :class:`~..ops.operator.StencilOperator` with offsets
+    within one lane-row, a single ``(R, 128)`` float32 leaf, the standard
+    inner product, and a TPU backend (or interpret mode for tests)."""
+    from ..ops.operator import StencilOperator
+    from ..ops import pallas_fused_lanczos as pf
+
+    if not use_fused_expansion:
+        return False
+    if not isinstance(op, StencilOperator):
+        return False
+    if any(isinstance(c, complex) for c in op.coeffs):
+        return False
+    if not pf.supported_stencil(op.offsets):
+        return False
+    if space.inner_fn is not None:
+        return False
+    leaves = jax.tree_util.tree_leaves(x0)
+    if len(leaves) != 1:
+        return False
+    l = leaves[0]
+    if l.ndim != 2 or l.shape[1] != 128 or l.dtype != jnp.float32:
+        return False
+    if l.shape[0] % 8 != 0 or l.shape[0] < 16:
+        return False
+    if jax.default_backend() != "tpu" and not fused_interpret:
+        return False
+    return True
+
+
+def _safe_inv(x):
+    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 1.0)
+
+
+def fused_expansions(op, state: KrylovState, s, m: int, btol, space, verbosity=0):
+    """Expand ``state`` from ``k`` to ``m`` with the one-stream fused kernel.
+
+    Basis rows appended here are stored UNNORMALIZED (the raw residuals); the
+    scale vector ``s`` (``s[j] = 1/|row j|``; 1 for normalized rows) carries
+    the bookkeeping — the caller must fold ``diag(s)`` into any basis use
+    (restart rotation, extraction).  On ENTRY all rows must be normalized
+    (``s == 1``): true after ``initialize`` and after every scaled restart.
+
+    Per restart cycle this performs exactly ``m - k`` operator applications
+    (1 priming apply + 1 in-kernel apply per fused step, none in the tail
+    step), matching the unfused loop's ``numops`` accounting.
+
+    Returns ``(state_new, s_new, numops_increment)``.  Mirrors the semantics
+    of the cgs fast path of :func:`expand_hermitian` iterated to ``k = m``
+    (reference ``src/factorizations/lanczos.jl:295-307``).
+    """
+    from ..ops import pallas_fused_lanczos as pf
+
+    V, H, k0, beta0 = state
+    kmax = H.shape[0]
+    treedef = jax.tree_util.tree_structure(V)
+    offsets = tuple(int(d) for d in op.offsets)
+    coeffs = tuple(float(c) for c in op.coeffs)
+    idx = jnp.arange(kmax)
+    buckets = bs.buckets_for(kmax)
+    k0 = jnp.asarray(k0, jnp.int32)
+
+    def leaf_of(t):
+        return jax.tree_util.tree_leaves(t)[0]
+
+    # ---- prime: y = A v_k, raw projections r_j = <row_j, y> for j <= k.
+    # (The caller only enters with k < m and beta > btol — the outer loop\'s
+    # `done` gate — so the prime apply is never wasted.)
+    vk = bs.get(V, k0)
+    y = op.normal(vk)
+    yl = leaf_of(y)
+    Vl = leaf_of(V)
+    r = bs.project_bucketed(V, y, k0 + 1, space).astype(jnp.float32)
+    rp = r[k0]
+    q = jnp.ones((), jnp.float32)
+
+    def subtract_coeffs(r, rp, q, s, k):
+        # w\' = A v_k - sum_{j<=k} <v_j, A v_k> v_j on the STORED (scaled)
+        # rows: coefficient on row_j is s_j^2 r_j / b (and rp replaces r[k]),
+        # with gamma_y = 1/b, b = |row_k| = sqrt(q).  See module docstring of
+        # ops/pallas_fused_lanczos.py for the derivation.
+        b = jnp.sqrt(q)
+        rfull = jnp.where(idx == k, rp, r)
+        return jnp.where(idx <= k, s * s * rfull / b, 0.0), b
+
+    def h_column(H, k, alpha, beta):
+        # identical column-write pattern to the cgs path of expand_hermitian
+        oh_k = jax.nn.one_hot(k, kmax, dtype=H.dtype)
+        oh_k1 = jax.nn.one_hot(k + 1, kmax, dtype=H.dtype)
+        col = alpha.astype(H.dtype) * oh_k + beta.astype(H.dtype) * oh_k1
+        colold = jax.lax.dynamic_slice(
+            H, (jnp.int32(0), jnp.asarray(k, jnp.int32)), (kmax, 1)
+        )[:, 0]
+        mask = oh_k + oh_k1
+        col = colold * (1 - mask) + col
+        return jax.lax.dynamic_update_slice(
+            H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
+        )
+
+    # ---- fused steady loop: append rows k0+1 .. m-1
+    def cond(c):
+        Vl, yl, r, rp, q, s, k, H = c
+        return jnp.logical_and(k < m - 1, jnp.sqrt(q) > btol)
+
+    def body(c):
+        Vl, yl, r, rp, q, s, k, H = c
+        gsub, b = subtract_coeffs(r, rp, q, s, k)
+        alpha = rp / q
+        gfull = jnp.concatenate([gsub, (1.0 / b)[None]])
+
+        def make_branch(B):
+            def br(Vl, yl, gfull):
+                Vn, yn, raw = pf.fused_step(
+                    Vl, yl, gfull, jnp.asarray(k + 1, jnp.int32), B,
+                    coeffs, offsets, interpret=fused_interpret,
+                )
+                rnew = jnp.pad(raw[:B], (0, kmax - B))
+                return Vn, yn, rnew, raw[B], raw[B + 1]
+
+            return br
+
+        iB = bs.bucket_index(k + 1, buckets)
+        Vn, yn, rnew, rpn, qn = jax.lax.switch(
+            iB, [make_branch(B) for B in buckets], Vl, yl, gfull
+        )
+        beta_k = jnp.sqrt(qn)
+        H = h_column(H, k, alpha, beta_k)
+        s = jnp.where(idx == k + 1, _safe_inv(beta_k), s)
+        return Vn, yn, rnew, rpn, qn, s, k + 1, H
+
+    Vl, yl, r, rp, q, s, k, H = jax.lax.while_loop(
+        cond, body, (Vl, yl, r, rp, q, s, k0, H)
+    )
+
+    # ---- tail step: append row m WITHOUT the (wasted) next apply — plain
+    # bucketed subtract.  Masked, not cond-wrapped: branch outputs would
+    # defensively copy the basis buffer (same reasoning as the masked
+    # restart in solvers/lanczos.py).
+    go = jnp.logical_and(k == m - 1, jnp.sqrt(q) > btol)
+    gsub, b = subtract_coeffs(r, rp, q, s, k)
+    alpha = rp / q
+    Vtree = jax.tree_util.tree_unflatten(treedef, [Vl])
+    Wl = (1.0 / b) * yl - leaf_of(
+        bs.unproject_bucketed(Vtree, gsub, k + 1)
+    )
+    qn = jnp.sum(Wl * Wl)
+    beta_m = jnp.sqrt(qn)
+    old_row = jax.lax.dynamic_index_in_dim(Vl, k + 1, 0, keepdims=False)
+    Vl = jax.lax.dynamic_update_index_in_dim(
+        Vl, jnp.where(go, Wl, old_row), k + 1, 0
+    )
+    H = jnp.where(go, h_column(H, k, alpha, beta_m), H)
+    s = jnp.where(jnp.logical_and(go, idx == k + 1), _safe_inv(beta_m), s)
+    k_out = k + go.astype(jnp.int32)
+    beta_out = jnp.where(go, beta_m, jnp.sqrt(q)).astype(beta0.dtype)
+
+    numops_inc = (k - k0) + 1  # prime + one in-kernel apply per fused step
+    state_new = KrylovState(
+        jax.tree_util.tree_unflatten(treedef, [Vl]), H, k_out, beta_out
+    )
+    return state_new, s, numops_inc

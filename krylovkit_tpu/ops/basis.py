@@ -73,6 +73,7 @@ __all__ = [
     "get",
     "set",
     "project",
+    "project_bucketed",
     "unproject",
     "transform",
     "transform_partial",
@@ -164,6 +165,27 @@ def unproject_bucketed(V: PyTree, c: jax.Array, k) -> PyTree:
 
     return jax.lax.switch(
         bucket_index(k, buckets), [make_branch(B) for B in buckets], c, V
+    )
+
+
+def project_bucketed(
+    V: PyTree, x: PyTree, k, space: VectorSpace = STANDARD
+) -> jax.Array:
+    """:func:`project` reading only the smallest static row-prefix ``B >= k``
+    (the projection half of the bucketed CGS sweep; used standalone by the
+    fused-expansion priming step, ``factorizations/krylov.py``)."""
+    kmax = jax.tree_util.tree_leaves(V)[0].shape[0]
+    buckets = buckets_for(kmax)
+    if len(buckets) == 1 or space.inner_fn is not None:
+        return project(V, x, k, space)
+
+    def make_branch(B):
+        return lambda x, V: jnp.pad(
+            project(prefix(V, B), x, k, space), (0, kmax - B)
+        )
+
+    return jax.lax.switch(
+        bucket_index(k, buckets), [make_branch(B) for B in buckets], x, V
     )
 
 

@@ -95,6 +95,104 @@ jax.tree_util.register_pytree_node(
 
 
 @dataclasses.dataclass(frozen=True)
+class StencilOperator(LinearOperator):
+    """Constant-coefficient stencil ``(A x)[i] = Σ_p coeffs[p]·x[i + offsets[p]]``
+    on the row-major flattening of the vector, with ZERO (Dirichlet-truncation)
+    boundary: out-of-range neighbours contribute nothing.
+
+    The offsets/coefficients are STATIC metadata, which makes the operator
+    *fusable*: the Lanczos fused-expansion kernel
+    (``ops/pallas_fused_lanczos.py``) applies it tile-locally inside the same
+    VMEM pass that forms the residual, halving the solver's dominant HBM
+    traffic.  ``normal``/``adjoint`` default to a roll-based XLA apply with
+    identical semantics (the adjoint is the reversed stencil with conjugated
+    coefficients), so the operator works everywhere; the fused path engages
+    only where supported.
+
+    Construct directly, or via helpers like ``parallel.laplacian_1d``.
+    """
+
+    offsets: Tuple[int, ...] = ()
+    coeffs: Tuple[float, ...] = ()
+
+    def __init__(self, offsets, coeffs, normal=None, adjoint=None):
+        offsets = tuple(int(d) for d in offsets)
+        coeffs = tuple(complex(c).real if complex(c).imag == 0 else complex(c)
+                       for c in coeffs)
+        object.__setattr__(self, "offsets", offsets)
+        object.__setattr__(self, "coeffs", coeffs)
+        object.__setattr__(
+            self, "normal", normal or _stencil_apply_fn(offsets, coeffs)
+        )
+        if adjoint is None:
+            adj_off = tuple(-d for d in reversed(offsets))
+            adj_cf = tuple(
+                (c.conjugate() if isinstance(c, complex) else c)
+                for c in reversed(coeffs)
+            )
+            adjoint = _stencil_apply_fn(adj_off, adj_cf)
+        object.__setattr__(self, "adjoint", adjoint)
+
+
+def _stencil_apply_fn(offsets, coeffs):
+    """Roll-based XLA apply of a constant stencil with zero boundary, on the
+    row-major flattening of an arbitrarily-shaped single-leaf vector.  For
+    ``(rows, 128)`` TPU layouts the rolls stay tile-local (lane shifts +
+    one-row carries), the same formulation ``parallel.laplacian_1d`` uses."""
+
+    def apply(x):
+        shape = x.shape
+        n = 1
+        for d in shape:
+            n *= d
+        if x.ndim >= 2:
+            # operate in the native 2-D layout: offset δ decomposes into a
+            # last-axis roll with a cross-row carry — no flattening reshape
+            # (a flat (n,) relayout costs a full pass; CLAUDE.md perf facts)
+            C = shape[-1]
+            idx = jax.lax.broadcasted_iota(jnp.int32, shape, x.ndim - 1)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, shape, x.ndim - 2)
+            R = shape[-2]
+            y = None
+            for coef, d in zip(coeffs, offsets):
+                if d == 0:
+                    t = x
+                else:
+                    q, r = divmod(d, C)
+                    sh = jnp.roll(x, -r, axis=-1) if r else x
+                    # lanes that wrapped need the next row's values
+                    if r:
+                        sh_next = jnp.roll(sh, -(q + 1), axis=-2)
+                        sh_same = jnp.roll(sh, -q, axis=-2) if q else sh
+                        t = jnp.where(idx < C - r, sh_same, sh_next)
+                        # zero where the source element falls outside [0, n)
+                        src_row = jnp.where(idx < C - r, ridx + q, ridx + q + 1)
+                    else:
+                        t = jnp.roll(sh, -q, axis=-2)
+                        src_row = ridx + q
+                    t = jnp.where((src_row >= 0) & (src_row < R), t, 0)
+                y = coef * t if y is None else y + coef * t
+            return y
+
+        idx = jnp.arange(n)
+        y = jnp.zeros(shape, jnp.result_type(x.dtype))
+        for coef, d in zip(coeffs, offsets):
+            sh = jnp.roll(x, -d)
+            sh = jnp.where((idx + d >= 0) & (idx + d < n), sh, 0)
+            y = y + coef * sh
+        return y.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else y
+
+    return apply
+
+
+jax.tree_util.register_pytree_node(
+    StencilOperator,
+    lambda op: ((), (op.offsets, op.coeffs, op.normal, op.adjoint)),
+    lambda aux, _: StencilOperator(aux[0], aux[1], aux[2], aux[3]),
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class MatrixOperator(LinearOperator):
     """Dense-matrix operator; the matrix is traced pytree data, so repeated
     solves with same-shaped matrices hit the jit cache."""

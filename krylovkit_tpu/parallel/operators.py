@@ -17,7 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.operator import LinearOperator
+from ..ops.operator import LinearOperator, StencilOperator
 
 __all__ = ["laplacian_1d", "poisson_2d", "sharded_laplacian_1d"]
 
@@ -55,7 +55,14 @@ def laplacian_1d(n: int, dtype=jnp.float32, dirichlet: bool = True) -> LinearOpe
             xp = jnp.where((ridx == R - 1) & (idx == C - 1), 0, xp)
         return 2 * x - xm - xp
 
-    return LinearOperator(apply, apply)  # symmetric
+    if dirichlet:
+        # zero-BC constant stencil: advertise static (offsets, coeffs) so the
+        # Lanczos fused-expansion kernel can apply it inside the basis stream
+        # (ops/pallas_fused_lanczos.py); keep this module's hand-tuned roll
+        # closure as the XLA apply
+        return StencilOperator((-1, 0, 1), (-1.0, 2.0, -1.0), normal=apply,
+                               adjoint=apply)
+    return LinearOperator(apply, apply)  # symmetric (periodic)
 
 
 def poisson_2d(nx: int, ny: int, dtype=jnp.float32) -> LinearOperator:

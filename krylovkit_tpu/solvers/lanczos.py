@@ -42,6 +42,7 @@ class _LoopState(NamedTuple):
     U: jax.Array  # (m+1, m+1) sorted Ritz coefficient vectors
     resnorms: jax.Array  # (m+1,) sorted Ritz residual norms
     done: jax.Array
+    s: jax.Array  # (m+1,) basis-row scales (all ones unless fused expansion)
 
 
 def _process(H, k, beta, which, tol, howmany):
@@ -68,7 +69,10 @@ def _process(H, k, beta, which, tol, howmany):
     return nconv.astype(jnp.int32), w, U, res
 
 
-def _restart(fact: kf.KrylovState, vals, U, beta, keep, keep_max: int, gate=None):
+def _restart(
+    fact: kf.KrylovState, vals, U, beta, keep, keep_max: int, gate=None,
+    scales=None,
+):
     """Thick restart to an arrowhead factorization of size ``keep``.
 
     With ``gate`` (a traced bool), the restart is MASKED rather than wrapped
@@ -87,6 +91,12 @@ def _restart(fact: kf.KrylovState, vals, U, beta, keep, keep_max: int, gate=None
     Ukeep = Ukeep + jax.nn.one_hot(k, m1, dtype=U.dtype)[:, None] * jax.nn.one_hot(
         keep, m1, dtype=U.dtype
     )[None, :]
+    if scales is not None:
+        # fused-expansion mode stores basis rows unnormalized: v_j = s_j·row_j,
+        # so the rotation acting on STORED rows is diag(s)·U (this also scales
+        # the relocated-residual entry by s[k]).  Applied before the identity
+        # gate — a gated-off restart must preserve the raw rows bit-exactly.
+        Ukeep = scales[:, None].astype(U.dtype) * Ukeep
     if gate is not None:
         eye = jnp.eye(m1, dtype=U.dtype)
         Ukeep = jnp.where(gate, Ukeep, eye)
@@ -153,6 +163,7 @@ def eigsolve_lanczos(
         U=jnp.zeros((m + 1, m + 1), cdt),
         resnorms=jnp.full((m + 1,), jnp.inf, rdt),
         done=jnp.asarray(False),
+        s=jnp.ones((m + 1,), jnp.float32),
     )
 
     selective = getattr(alg, "reorth", "full") == "selective"
@@ -161,6 +172,18 @@ def eigsolve_lanczos(
             "reorth='selective' is incompatible with eager=True (the "
             "omega-recurrence state does not persist across eager processings)"
         )
+    from ..ops import orthonormal as on
+
+    # one-stream fused expansion (ops/pallas_fused_lanczos.py): engages for
+    # real f32 stencil operators under plain-cgs full reorthogonalization —
+    # exactly the semantics of the cgs fast path of kf.expand_hermitian
+    fused = (
+        not alg.eager
+        and not selective
+        and type(alg.orth) is on.ClassicalGramSchmidt
+        and cdt == jnp.float32
+        and kf.fused_available(op, x0, space)
+    )
 
     def outer_body(st: _LoopState) -> _LoopState:
         fact, numops = st.fact, st.numops
@@ -198,9 +221,16 @@ def eigsolve_lanczos(
                 )
             return go
 
-        fact, numops, om, omp, _ = jax.lax.while_loop(
-            inner_cond, expand_one, (fact, numops, om0, omp0, jnp.int32(0))
-        )
+        if fused:
+            fact, s_rows, dops = kf.fused_expansions(
+                op, fact, st.s, m, btol, space, verbosity=alg.verbosity
+            )
+            numops = numops + dops
+        else:
+            s_rows = st.s
+            fact, numops, om, omp, _ = jax.lax.while_loop(
+                inner_cond, expand_one, (fact, numops, om0, omp0, jnp.int32(0))
+            )
 
         # --- process projected problem ---
         nconv, vals, U, res = _process(
@@ -242,15 +272,21 @@ def eigsolve_lanczos(
             # non-eager: every processing but the last restarts — run the
             # masked (gated) restart unconditionally, avoiding cond copies
             fact = _restart(
-                fact, vals, U, fact.beta, keep, keep_max, gate=restart_now
+                fact, vals, U, fact.beta, keep, keep_max, gate=restart_now,
+                scales=s_rows if fused else None,
             )
+        # a genuine restart renormalizes every surviving row (the rotation
+        # folds diag(s) in), so the scales reset to 1
+        s_rows = jnp.where(restart_now, jnp.ones_like(s_rows), s_rows)
         log_if(
             alg.verbosity, EACHITERATION,
             "Lanczos eigsolve in iteration {it}: {nc} values converged, "
             "normres = {nr}",
             it=numiter, nc=nconv, nr=res[:howmany],
         )
-        return _LoopState(fact, numiter, numops, nconv, vals, U, res, done)
+        return _LoopState(
+            fact, numiter, numops, nconv, vals, U, res, done, s_rows
+        )
 
     def outer_cond(st: _LoopState):
         return jnp.logical_not(st.done)
@@ -263,9 +299,15 @@ def eigsolve_lanczos(
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
     Umask = jnp.where((rows < fact.k) & (cols < howmany), st.U, 0)
+    # fused expansion stores rows unnormalized (v_j = s_j·row_j): fold the
+    # scales into every basis consumption (identity when s == 1)
+    Umask = st.s[:, None].astype(Umask.dtype) * Umask
     # read V[k] BEFORE the rotation: transform_partial aliases the basis
     # buffer in place, so reading it first lets XLA skip a defensive copy
-    vk = bs.get(fact.V, fact.k)
+    sk = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
+    vk = jax.tree_util.tree_map(
+        lambda l: sk.astype(l.dtype) * l, bs.get(fact.V, fact.k)
+    )
     Vr = bs.transform_partial(fact.V, Umask, howmany)
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vr)
     # residual vectors r_i = β·U[k-1,i] · V[k]  (reference src/eigsolve/lanczos.jl:127-133)

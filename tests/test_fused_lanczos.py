@@ -1,0 +1,172 @@
+"""Fused one-stream Lanczos expansion (ops/pallas_fused_lanczos.py) —
+interpret-mode tests so the TPU kernel path runs on CPU CI.
+
+Covers: kernel-level correctness vs a pure-XLA reference (including the
+in-place row-append aliasing contract), end-to-end driver parity against the
+unfused cgs path (values, numops, numiter, residual norms), restart-cycle
+parity (the scale vector must fold into the rotation), and the eligibility
+gate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import krylovkit_tpu as kk
+from krylovkit_tpu.factorizations import krylov as kf
+from krylovkit_tpu.ops.operator import StencilOperator
+from krylovkit_tpu.ops.pallas_fused_lanczos import fused_step, supported_stencil
+from krylovkit_tpu.ops.vector import STANDARD
+from krylovkit_tpu.parallel import laplacian_1d
+from krylovkit_tpu.solvers.lanczos import eigsolve_lanczos
+
+COEFFS = (-1.0, 2.0, -1.0)
+OFFSETS = (-1, 0, 1)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    old = kf.fused_interpret
+    kf.fused_interpret = True
+    yield
+    kf.fused_interpret = old
+
+
+def _ref_step(V, y, g, kp1, B):
+    kmax, R, C = V.shape
+    n = R * C
+    W = g[kmax] * y - jnp.einsum("j,jrc->rc", g[:B], V[:B])
+    wf = W.reshape(n)
+    idx = jnp.arange(n)
+    yn = jnp.zeros(n, jnp.float32)
+    for coef, d in zip(COEFFS, OFFSETS):
+        sh = jnp.roll(wf, -d)
+        sh = jnp.where((idx + d >= 0) & (idx + d < n), sh, 0)
+        yn = yn + coef * sh
+    yn = yn.reshape(R, C)
+    r = jnp.einsum("jrc,rc->j", V[:B], yn)
+    return V.at[kp1].set(W), yn, r, jnp.sum(W * yn), jnp.sum(W * W)
+
+
+@pytest.mark.parametrize("B,kp1", [(8, 8), (16, 12), (31, 30)])
+def test_fused_step_matches_reference(B, kp1):
+    rng = np.random.default_rng(0)
+    kmax, R = 31, 32
+    V = jnp.asarray(rng.standard_normal((kmax, R, 128)).astype("float32"))
+    y = jnp.asarray(rng.standard_normal((R, 128)).astype("float32"))
+    g = jnp.asarray(rng.standard_normal(kmax + 1).astype("float32"))
+    Vn, yn, raw = fused_step(
+        V, y, g, jnp.int32(kp1), B, COEFFS, OFFSETS, tile_rows=8,
+        interpret=True,
+    )
+    Vr, ynr, r, rp, q = _ref_step(V, y, g, kp1, B)
+    sc = float(jnp.max(jnp.abs(ynr)))
+    np.testing.assert_allclose(np.asarray(Vn), np.asarray(Vr), atol=2e-4 * sc)
+    np.testing.assert_allclose(np.asarray(yn), np.asarray(ynr), atol=2e-4 * sc)
+    mask = np.arange(B) != kp1  # raw[kp1] unspecified when kp1 < B
+    np.testing.assert_allclose(
+        np.asarray(raw[:B])[mask], np.asarray(r)[mask], rtol=2e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(float(raw[B]), float(rp), rtol=2e-4)
+    np.testing.assert_allclose(float(raw[B + 1]), float(q), rtol=2e-4)
+    # rows other than kp1 bit-identical (in-place append contract)
+    keep = np.arange(kmax) != kp1
+    assert np.array_equal(np.asarray(Vn)[keep], np.asarray(V)[keep])
+
+
+def _solve(op, x0, alg, fused):
+    old = kf.use_fused_expansion
+    kf.use_fused_expansion = fused
+    try:
+        return jax.jit(
+            lambda x: eigsolve_lanczos(op, x, 4, "LM", alg)
+        )(x0)
+    finally:
+        kf.use_fused_expansion = old
+
+
+@pytest.mark.parametrize("maxiter", [1, 6])
+def test_fused_driver_matches_unfused(maxiter):
+    n = 1 << 12
+    op = laplacian_1d(n, jnp.float32)
+    assert isinstance(op, StencilOperator)
+    x0 = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n // 128, 128)), jnp.float32
+    )
+    alg = kk.Lanczos(krylovdim=18, maxiter=maxiter, tol=1e-5, orth=kk.cgs)
+    v0, e0, i0 = _solve(op, x0, alg, fused=False)
+    v1, e1, i1 = _solve(op, x0, alg, fused=True)
+    assert kf.fused_available(op, x0, STANDARD)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=2e-4)
+    assert int(i0.numops) == int(i1.numops)
+    assert int(i0.numiter) == int(i1.numiter)
+    np.testing.assert_allclose(
+        np.asarray(i0.normres), np.asarray(i1.normres), rtol=0.05, atol=1e-5
+    )
+    for a, b in zip(e0, e1):
+        # eigenvectors agree up to sign
+        dot = float(jnp.abs(jnp.vdot(a, b)))
+        np.testing.assert_allclose(dot, 1.0, rtol=1e-3)
+
+
+def test_fused_converged_eigenpairs():
+    n = 1 << 11
+    op = laplacian_1d(n, jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(2).standard_normal((n // 128, 128)), jnp.float32
+    )
+    # f32 + clustered cos-spectrum edges: 5e-3 converges all 4 in ~30 cycles
+    alg = kk.Lanczos(krylovdim=20, maxiter=30, tol=5e-3, orth=kk.cgs)
+    vals, vecs, info = _solve(op, x0, alg, fused=True)
+    assert int(info.converged) >= 2
+    for i in range(int(info.converged)):
+        v = vecs[i]
+        np.testing.assert_allclose(float(jnp.linalg.norm(v)), 1.0, rtol=1e-4)
+        r = op.normal(v) - vals[i] * v
+        assert float(jnp.linalg.norm(r)) < 2e-2
+
+
+def test_fused_gate():
+    n = 1 << 12
+    x0_good = jnp.ones((n // 128, 128), jnp.float32)
+    op = laplacian_1d(n, jnp.float32)
+    assert kf.fused_available(op, x0_good, STANDARD)
+    # flat vectors, wrong dtype, non-stencil op, periodic BC → ineligible
+    assert not kf.fused_available(op, jnp.ones((n,), jnp.float32), STANDARD)
+    assert not kf.fused_available(
+        op, jnp.ones((n // 128, 128), jnp.float64), STANDARD
+    )
+    from krylovkit_tpu.ops.operator import as_operator
+
+    assert not kf.fused_available(
+        as_operator(lambda x: 2 * x), x0_good, STANDARD
+    )
+    assert not kf.fused_available(
+        laplacian_1d(n, jnp.float32, dirichlet=False), x0_good, STANDARD
+    )
+    assert supported_stencil((-128, 0, 128))
+    assert not supported_stencil((-200, 0))
+
+
+def test_stencil_operator_apply_matches_dense():
+    # generic StencilOperator XLA apply: row-major flattening, zero BC
+    n = 512
+    offsets = (-3, -1, 0, 2)
+    coeffs = (0.5, -1.0, 2.0, 0.25)
+    op = StencilOperator(offsets, coeffs)
+    A = np.zeros((n, n), np.float32)
+    for c, d in zip(coeffs, offsets):
+        for i in range(n):
+            if 0 <= i + d < n:
+                A[i, i + d] = c
+    x = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    want = A @ x
+    got_flat = np.asarray(op.normal(jnp.asarray(x)))
+    np.testing.assert_allclose(got_flat, want, atol=1e-5)
+    got_2d = np.asarray(op.normal(jnp.asarray(x.reshape(4, 128)))).reshape(n)
+    np.testing.assert_allclose(got_2d, want, atol=1e-5)
+    # adjoint = transpose
+    want_t = A.T @ x
+    got_t = np.asarray(op.adjoint(jnp.asarray(x.reshape(4, 128)))).reshape(n)
+    np.testing.assert_allclose(got_t, want_t, atol=1e-5)

@@ -1,0 +1,161 @@
+"""Correctness + slope bench for the fused Lanczos expansion kernel.
+
+Correctness: compares ``pallas_fused_lanczos.fused_step`` against a pure-XLA
+reference of the same math (subtract, stencil apply, raw reductions) at
+n=64K.  Then slope-times the kernel at n=2M for B in {8, 16, 24, 31} against
+the CURRENT unfused step cost (bench_expand_anatomy variant E ~= 620 us at
+B=24); target <= (B+3)/(2B+9) of it.
+
+Pass ``--cpu`` to run the correctness check in interpret mode on CPU.
+Run alone on the chip: ``timeout 1200 python tools/bench_fused_expand.py``.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+interpret = "--cpu" in sys.argv
+if interpret:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from krylovkit_tpu.ops.pallas_fused_lanczos import fused_step
+
+COEFFS = (-1.0, 2.0, -1.0)
+OFFSETS = (-1, 0, 1)
+
+
+def ref_step(V, y, g, kp1, B, coeffs, offsets):
+    kmax, R, C = V.shape
+    n = R * C
+    gy = g[kmax]
+    W = gy * y - jnp.einsum("j,jrc->rc", g[:B], V[:B])
+    # stencil with zero (Dirichlet) boundary on the row-major flattening
+    wf = W.reshape(n)
+    idx = jnp.arange(n)
+    yn = jnp.zeros(n, jnp.float32)
+    for coef, d in zip(coeffs, offsets):
+        sh = jnp.roll(wf, -d)
+        sh = jnp.where((idx + d >= 0) & (idx + d < n), sh, 0)
+        yn = yn + coef * sh
+    yn = yn.reshape(R, C)
+    r = jnp.einsum("jrc,rc->j", V[:B], yn)
+    rp = jnp.sum(W * yn)
+    q = jnp.sum(W * W)
+    Vnew = V.at[kp1].set(W)
+    return Vnew, yn, r, rp, q
+
+
+def check(n, B, kp1, seed=0):
+    R = n // 128
+    kmax = 31
+    rng = np.random.default_rng(seed)
+    V = jnp.asarray(rng.standard_normal((kmax, R, 128)).astype("float32"))
+    y = jnp.asarray(rng.standard_normal((R, 128)).astype("float32"))
+    g = jnp.asarray(rng.standard_normal(kmax + 1).astype("float32"))
+
+    Vn, yn, raw = fused_step(
+        V, y, g, jnp.int32(kp1), B, COEFFS, OFFSETS,
+        tile_rows=max(8, R // 4), interpret=interpret,
+    )
+    Vr, ynr, r, rp, q = ref_step(V, y, g, kp1, B, COEFFS, OFFSETS)
+
+    sc = float(jnp.max(jnp.abs(ynr)))
+    e1 = float(jnp.max(jnp.abs(Vn - Vr))) / sc
+    e2 = float(jnp.max(jnp.abs(yn - ynr))) / sc
+    # raw[kp1] is unspecified when kp1 < B: the kernel may read the row it is
+    # overwriting (stale or fresh) — the driver never uses that entry
+    rmask = jnp.arange(B) != kp1
+    e3 = float(jnp.max(jnp.abs(jnp.where(rmask, raw[:B] - r, 0)))) / (
+        float(jnp.max(jnp.abs(r))) + 1e-30
+    )
+    e4 = abs(float(raw[B] - rp)) / (abs(float(rp)) + 1e-30)
+    e5 = abs(float(raw[B + 1] - q)) / (abs(float(q)) + 1e-30)
+    errs = (e1, e2, e3, e4, e5)
+    ok = all(e < 2e-4 for e in errs)
+    print(
+        f"check n={n} B={B} kp1={kp1}: "
+        + " ".join(f"{e:.2e}" for e in errs)
+        + ("  OK" if ok else "  FAIL"),
+        flush=True,
+    )
+    return ok
+
+
+def slope(make, args, lo=100, hi=1100, rounds=3):
+    f_lo, f_hi = make(lo), make(hi)
+    jax.device_get(f_lo(*args))
+    jax.device_get(f_hi(*args))
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        jax.device_get(f_lo(*args))
+        t1 = time.perf_counter()
+        jax.device_get(f_hi(*args))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (hi - lo))
+    return best
+
+
+def bench(n, B, kp1, tile_rows=256):
+    R = n // 128
+    kmax = 31
+    rng = np.random.default_rng(0)
+    V = jnp.asarray(
+        rng.standard_normal((kmax, R, 128)).astype("float32") / np.sqrt(n)
+    )
+    y = jnp.asarray(rng.standard_normal((R, 128)).astype("float32"))
+    g = jnp.asarray((rng.standard_normal(kmax + 1) * 1e-3).astype("float32"))
+
+    def make(reps):
+        @jax.jit
+        def run(V, y, g):
+            def body(i, carry):
+                V, y = carry
+                V, y, raw = fused_step(
+                    V, y, g * (1 + 1e-9 * i), jnp.int32(kp1), B,
+                    COEFFS, OFFSETS, tile_rows=tile_rows,
+                )
+                # renormalize y so the loop neither explodes nor denormals
+                y = y / (jnp.sqrt(raw[B + 1]) + 1e-6)
+                return V, y
+            V, y = jax.lax.fori_loop(0, reps, body, (V, y))
+            return y.sum()
+        return run
+
+    dt = slope(make, (V, y, g))
+    passes = B + 3
+    gb = passes * n * 4 / 1e9
+    print(
+        f"bench n={n} B={B:2d} T={tile_rows}: {dt*1e6:8.1f} us/step "
+        f"({gb*1e3:6.0f} MB -> {gb/dt:5.0f} GB/s)  "
+        f"[unfused ~{(2*B+9)*n*4/1e9/0.75*1e6:.0f} us at 750 GB/s]",
+        flush=True,
+    )
+
+
+def main():
+    if not interpret:
+        jax.device_get(jnp.ones((8, 128)).sum())
+        print("tunnel ok", flush=True)
+    ok = True
+    for B, kp1 in ((8, 8), (8, 5), (16, 13), (24, 23), (31, 30)):
+        ok &= check(1 << 16, B, kp1)
+    if not ok:
+        sys.exit(1)
+    if interpret:
+        print("correctness OK (interpret mode); skipping bench on CPU")
+        return
+    for B in (8, 16, 24, 31):
+        for T in (256, 512):
+            bench(1 << 21, B, min(B, 30), tile_rows=T)
+
+
+if __name__ == "__main__":
+    main()
