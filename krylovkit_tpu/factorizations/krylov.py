@@ -500,6 +500,13 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space, verbosity=0
     r = bs.project_bucketed(V, y, k0 + 1, space).astype(jnp.float32)
     rp = r[k0]
     q = jnp.ones((), jnp.float32)
+    # boundary caches (halo rows per tile) — O(R/T) data.  Built once per
+    # cycle here and updated incrementally from the kernel's per-tile
+    # first/last-row outputs: strided-slicing the 250 MB buffer per STEP
+    # costs more than the fused kernel itself (tools/bench_fused_variants.py)
+    T = pf.choose_tile(Vl.shape[1])
+    Vbc = pf.boundary_cache(Vl, T)
+    ybc = pf.boundary_cache(yl, T)
 
     def subtract_coeffs(r, rp, q, s, k):
         # w\' = A v_k - sum_{j<=k} <v_j, A v_k> v_j on the STORED (scaled)
@@ -526,37 +533,43 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space, verbosity=0
 
     # ---- fused steady loop: append rows k0+1 .. m-1
     def cond(c):
-        Vl, yl, r, rp, q, s, k, H = c
+        Vl, yl, Vbc, ybc, r, rp, q, s, k, H = c
         return jnp.logical_and(k < m - 1, jnp.sqrt(q) > btol)
 
     def body(c):
-        Vl, yl, r, rp, q, s, k, H = c
+        Vl, yl, Vbc, ybc, r, rp, q, s, k, H = c
         gsub, b = subtract_coeffs(r, rp, q, s, k)
         alpha = rp / q
         gfull = jnp.concatenate([gsub, (1.0 / b)[None]])
 
         def make_branch(B):
-            def br(Vl, yl, gfull):
-                Vn, yn, raw = pf.fused_step(
-                    Vl, yl, gfull, jnp.asarray(k + 1, jnp.int32), B,
-                    coeffs, offsets, interpret=fused_interpret,
+            def br(Vl, yl, Vbc, ybc, gfull):
+                Vn, yn, raw, wb, ynb = pf.fused_step(
+                    Vl, yl, Vbc, ybc, gfull, jnp.asarray(k + 1, jnp.int32),
+                    B, coeffs, offsets, interpret=fused_interpret,
                 )
                 rnew = jnp.pad(raw[:B], (0, kmax - B))
-                return Vn, yn, rnew, raw[B], raw[B + 1]
+                return Vn, yn, rnew, raw[B], raw[B + 1], wb, ynb
 
             return br
 
         iB = bs.bucket_index(k + 1, buckets)
-        Vn, yn, rnew, rpn, qn = jax.lax.switch(
-            iB, [make_branch(B) for B in buckets], Vl, yl, gfull
+        Vn, yn, rnew, rpn, qn, wb, ynb = jax.lax.switch(
+            iB, [make_branch(B) for B in buckets], Vl, yl, Vbc, ybc, gfull
         )
+        Vbc = jax.lax.dynamic_update_slice(
+            Vbc, pf.cache_from_tile_rows(wb)[None],
+            (jnp.asarray(k + 1, jnp.int32), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)),
+        )
+        ybc = pf.cache_from_tile_rows(ynb)
         beta_k = jnp.sqrt(qn)
         H = h_column(H, k, alpha, beta_k)
         s = jnp.where(idx == k + 1, _safe_inv(beta_k), s)
-        return Vn, yn, rnew, rpn, qn, s, k + 1, H
+        return Vn, yn, Vbc, ybc, rnew, rpn, qn, s, k + 1, H
 
-    Vl, yl, r, rp, q, s, k, H = jax.lax.while_loop(
-        cond, body, (Vl, yl, r, rp, q, s, k0, H)
+    Vl, yl, Vbc, ybc, r, rp, q, s, k, H = jax.lax.while_loop(
+        cond, body, (Vl, yl, Vbc, ybc, r, rp, q, s, k0, H)
     )
 
     # ---- tail step: append row m WITHOUT the (wasted) next apply — plain

@@ -47,7 +47,52 @@ import jax.numpy as jnp
 LANES = 128
 _HI = jax.lax.Precision.HIGHEST
 
-__all__ = ["fused_step", "stencil_apply_window", "supported_stencil"]
+__all__ = [
+    "fused_step",
+    "stencil_apply_window",
+    "supported_stencil",
+    "choose_tile",
+    "boundary_cache",
+    "cache_from_tile_rows",
+]
+
+
+def choose_tile(R: int, tile_rows: int = 256) -> int:
+    """The row-tile size ``fused_step`` will use for ``R`` rows."""
+    T = tile_rows
+    while T > 8 and (R % T != 0 or R // T < 2):
+        T //= 2
+    if R % T != 0 or R // T < 2:
+        raise ValueError(f"R={R} rows do not tile (need R % T == 0, >= 2 tiles)")
+    return T
+
+
+def boundary_cache(a, T: int):
+    """Halo planes of a stacked array: for each leading index and tile ``i``,
+    ``[..., i, 0] = row i·T − 1`` (zeros at i=0) and ``[..., i, 1] = row
+    (i+1)·T`` (zeros at the last tile) — zero halos ARE the Dirichlet
+    truncation of the stencil.  O(rows/T) data; built from a free reshape
+    plus one-row slices."""
+    lead = a.shape[:-2]
+    R, C = a.shape[-2:]
+    nt = R // T
+    a4 = a.reshape(lead + (nt, T, C))
+    last = a4[..., :, T - 1, :]
+    first = a4[..., :, 0, :]
+    z = jnp.zeros(lead + (1, C), a.dtype)
+    lo = jnp.concatenate([z, last[..., :-1, :]], axis=-2)
+    hi = jnp.concatenate([first[..., 1:, :], z], axis=-2)
+    return jnp.stack([lo, hi], axis=-2)  # lead + (nt, 2, C)
+
+
+def cache_from_tile_rows(wb):
+    """Convert a kernel boundary output ``wb[i] = (first_row_i, last_row_i)``
+    into the halo-plane layout of :func:`boundary_cache` for that vector."""
+    nt, _, C = wb.shape
+    z = jnp.zeros((1, C), wb.dtype)
+    lo = jnp.concatenate([z, wb[:-1, 1, :]], axis=0)  # row iT-1 = last of i-1
+    hi = jnp.concatenate([wb[1:, 0, :], z], axis=0)  # row (i+1)T = first of i+1
+    return jnp.stack([lo, hi], axis=1)  # (nt, 2, C)
 
 
 def supported_stencil(offsets) -> bool:
@@ -93,6 +138,8 @@ def _fused_kernel(
     w_out,  # (1, T, 128) → row k+1 of the (aliased) basis buffer
     ynext_out,  # (T, 128) y' = A w', tile i
     red_out,  # (1, 128) accumulated raw reductions (revisited block)
+    wb_out,  # (1, 2, 128) first/last rows of w' tile i (boundary cache feed)
+    ynb_out,  # (1, 2, 128) first/last rows of y' tile i
     *,
     B: int,
     T: int,
@@ -131,6 +178,15 @@ def _fused_kernel(
     # 4. outputs + raw reductions for the NEXT step
     w_out[0] = Wt.astype(w_out.dtype)
     ynext_out[...] = yn.astype(ynext_out.dtype)
+    # first/last rows of this tile, so the DRIVER can update the boundary
+    # caches with O(nt) work instead of strided-slicing the 250 MB buffer
+    # (XLA lowers that to per-row mini-DMAs costing more than the kernel)
+    wb_out[0] = jnp.concatenate([Wt[0:1], Wt[T - 1 : T]], axis=0).astype(
+        wb_out.dtype
+    )
+    ynb_out[0] = jnp.concatenate([yn[0:1], yn[T - 1 : T]], axis=0).astype(
+        ynb_out.dtype
+    )
 
     yn2 = yn.reshape(1, T * LANES)
     r_part = jax.lax.dot_general(
@@ -163,6 +219,8 @@ def _fused_kernel(
 def fused_step(
     V,  # (kmax, R, 128) f32 basis buffer (rows stored UNNORMALIZED, see module doc)
     y,  # (R, 128) f32: A·(pending row)
+    Vb,  # (kmax, nt, 2, 128) boundary cache: [j,i,0]=V[j,iT-1], [j,i,1]=V[j,(i+1)T]
+    yb,  # (nt, 2, 128) same for y
     g,  # (kmax + 1,) f32: subtract coeffs [0:kmax] + γ_y at [kmax]
     kp1,  # int32: row index to write (k + 1)
     B: int,
@@ -171,8 +229,11 @@ def fused_step(
     tile_rows: int = 256,
     interpret: bool = False,
 ):
-    """One fused expansion step.  Returns ``(V_new, y_next, raw)`` where
-    ``raw[:B] = <V[j], y'>``, ``raw[B] = <w', y'>``, ``raw[B+1] = ‖w'‖²``.
+    """One fused expansion step.  Returns ``(V_new, y_next, raw, wb, ynb)``:
+    ``raw[:B] = <V[j], y'>``, ``raw[B] = <w', y'>``, ``raw[B+1] = |w'|^2``;
+    ``wb``/``ynb`` are the per-tile (first, last) rows of ``w'``/``y'`` from
+    which the caller updates the boundary caches in O(nt) work
+    (:func:`boundary_cache`/:func:`cache_from_tile_rows`).
 
     ``V_new`` aliases ``V`` with row ``kp1`` overwritten by ``w'``; all other
     rows are bit-identical (the in-place tail-preservation contract of
@@ -190,48 +251,8 @@ def fused_step(
         raise ValueError(f"R={R} rows do not tile (need R % T == 0, >= 2 tiles)")
     nt = R // T
 
-    # boundary rows: lo[i] = row i·T − 1 (zeros at i = 0), hi[i] = row (i+1)·T
-    # (zeros at i = nt − 1) — zero halos ARE the Dirichlet truncation of the
-    # stencil (offsets address absent neighbours as zero)
-    Vb = jnp.stack(
-        [
-            jnp.concatenate(
-                [
-                    jnp.zeros((B, 1, C), V.dtype),
-                    jax.lax.slice(V, (0, T - 1, 0), (B, R - 1, C), (1, T, 1)),
-                ],
-                axis=1,
-            ),
-            jnp.concatenate(
-                [
-                    jax.lax.slice(V, (0, T, 0), (B, R, C), (1, T, 1)),
-                    jnp.zeros((B, 1, C), V.dtype),
-                ],
-                axis=1,
-            ),
-        ],
-        axis=2,
-    )  # (B, nt, 2, C)
-    yb = jnp.stack(
-        [
-            jnp.concatenate(
-                [
-                    jnp.zeros((1, C), y.dtype),
-                    jax.lax.slice(y, (T - 1, 0), (R - 1, C), (T, 1)),
-                ],
-                axis=0,
-            ),
-            jnp.concatenate(
-                [
-                    jax.lax.slice(y, (T, 0), (R, C), (T, 1)),
-                    jnp.zeros((1, C), y.dtype),
-                ],
-                axis=0,
-            ),
-        ],
-        axis=1,
-    )  # (nt, 2, C)
-
+    assert Vb.shape == (kmax, nt, 2, C), (Vb.shape, (kmax, nt, 2, C))
+    assert yb.shape == (nt, 2, C)
     gbuf = jnp.zeros((1, LANES), jnp.float32)
     gbuf = gbuf.at[0, :B].set(g[:B].astype(jnp.float32))
     gbuf = gbuf.at[0, B].set(g[kmax].astype(jnp.float32))
@@ -253,6 +274,8 @@ def fused_step(
             pl.BlockSpec((1, T, C), lambda i, kp1: (kp1[0], i, 0)),
             pl.BlockSpec((T, C), lambda i, kp1: (i, 0)),
             pl.BlockSpec((1, LANES), lambda i, kp1: (0, 0)),
+            pl.BlockSpec((1, 2, C), lambda i, kp1: (i, 0, 0)),
+            pl.BlockSpec((1, 2, C), lambda i, kp1: (i, 0, 0)),
         ],
     )
     kwargs = {}
@@ -263,16 +286,21 @@ def fused_step(
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20
         )
-    Vnew, ynext, raw = pl.pallas_call(
+    Vnew, ynext, raw, wb, ynb = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(V.shape, V.dtype),
             jax.ShapeDtypeStruct(y.shape, y.dtype),
             jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 2, C), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 2, C), jnp.float32),
         ],
         input_output_aliases={1: 0},  # V (first non-prefetch arg) → Vnew
         interpret=interpret,
         **kwargs,
-    )(jnp.asarray([kp1], jnp.int32), V, y, Vb, yb, gbuf)
-    return Vnew, ynext, raw[0]
+    )(
+        jnp.asarray([kp1], jnp.int32), V,
+        y, jax.lax.slice_in_dim(Vb, 0, B, axis=0), yb, gbuf,
+    )
+    return Vnew, ynext, raw[0], wb, ynb

@@ -16,7 +16,13 @@ import pytest
 import krylovkit_tpu as kk
 from krylovkit_tpu.factorizations import krylov as kf
 from krylovkit_tpu.ops.operator import StencilOperator
-from krylovkit_tpu.ops.pallas_fused_lanczos import fused_step, supported_stencil
+from krylovkit_tpu.ops.pallas_fused_lanczos import (
+    boundary_cache,
+    choose_tile,
+    fused_step,
+    supported_stencil,
+)
+from krylovkit_tpu.ops.pallas_fused_lanczos import cache_from_tile_rows as pf_cache
 from krylovkit_tpu.ops.vector import STANDARD
 from krylovkit_tpu.parallel import laplacian_1d
 from krylovkit_tpu.solvers.lanczos import eigsolve_lanczos
@@ -56,9 +62,10 @@ def test_fused_step_matches_reference(B, kp1):
     V = jnp.asarray(rng.standard_normal((kmax, R, 128)).astype("float32"))
     y = jnp.asarray(rng.standard_normal((R, 128)).astype("float32"))
     g = jnp.asarray(rng.standard_normal(kmax + 1).astype("float32"))
-    Vn, yn, raw = fused_step(
-        V, y, g, jnp.int32(kp1), B, COEFFS, OFFSETS, tile_rows=8,
-        interpret=True,
+    T = choose_tile(R, 8)
+    Vn, yn, raw, wb, ynb = fused_step(
+        V, y, boundary_cache(V, T), boundary_cache(y, T), g, jnp.int32(kp1),
+        B, COEFFS, OFFSETS, tile_rows=8, interpret=True,
     )
     Vr, ynr, r, rp, q = _ref_step(V, y, g, kp1, B)
     sc = float(jnp.max(jnp.abs(ynr)))
@@ -70,6 +77,18 @@ def test_fused_step_matches_reference(B, kp1):
     )
     np.testing.assert_allclose(float(raw[B]), float(rp), rtol=2e-4)
     np.testing.assert_allclose(float(raw[B + 1]), float(q), rtol=2e-4)
+    # boundary outputs feed the caches: converted planes must equal a fresh
+    # boundary_cache of the written vectors
+    np.testing.assert_allclose(
+        np.asarray(pf_cache(wb)),
+        np.asarray(boundary_cache(jnp.asarray(Vr[kp1]), T)),
+        atol=2e-4 * sc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pf_cache(ynb)),
+        np.asarray(boundary_cache(ynr, T)),
+        atol=2e-4 * sc,
+    )
     # rows other than kp1 bit-identical (in-place append contract)
     keep = np.arange(kmax) != kp1
     assert np.array_equal(np.asarray(Vn)[keep], np.asarray(V)[keep])

@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from krylovkit_tpu.ops.pallas_fused_lanczos import fused_step
+from krylovkit_tpu.ops.pallas_fused_lanczos import (
+    boundary_cache, choose_tile, fused_step,
+)
 
 COEFFS = (-1.0, 2.0, -1.0)
 OFFSETS = (-1, 0, 1)
@@ -60,9 +62,10 @@ def check(n, B, kp1, seed=0):
     y = jnp.asarray(rng.standard_normal((R, 128)).astype("float32"))
     g = jnp.asarray(rng.standard_normal(kmax + 1).astype("float32"))
 
-    Vn, yn, raw = fused_step(
-        V, y, g, jnp.int32(kp1), B, COEFFS, OFFSETS,
-        tile_rows=max(8, R // 4), interpret=interpret,
+    T = choose_tile(R, max(8, R // 4))
+    Vn, yn, raw, wb, ynb = fused_step(
+        V, y, boundary_cache(V, T), boundary_cache(y, T), g, jnp.int32(kp1),
+        B, COEFFS, OFFSETS, tile_rows=max(8, R // 4), interpret=interpret,
     )
     Vr, ynr, r, rp, q = ref_step(V, y, g, kp1, B, COEFFS, OFFSETS)
 
@@ -113,19 +116,33 @@ def bench(n, B, kp1, tile_rows=256):
     y = jnp.asarray(rng.standard_normal((R, 128)).astype("float32"))
     g = jnp.asarray((rng.standard_normal(kmax + 1) * 1e-3).astype("float32"))
 
+    T = choose_tile(R, tile_rows)
+
     def make(reps):
         @jax.jit
         def run(V, y, g):
+            from krylovkit_tpu.ops.pallas_fused_lanczos import (
+                cache_from_tile_rows,
+            )
+            Vb = boundary_cache(V, T)
+
             def body(i, carry):
-                V, y = carry
-                V, y, raw = fused_step(
-                    V, y, g * (1 + 1e-9 * i), jnp.int32(kp1), B,
+                V, y, Vb, yb = carry
+                V, y, raw, wb, ynb = fused_step(
+                    V, y, Vb, yb, g * (1 + 1e-9 * i), jnp.int32(kp1), B,
                     COEFFS, OFFSETS, tile_rows=tile_rows,
                 )
+                Vb = jax.lax.dynamic_update_slice(
+                    Vb, cache_from_tile_rows(wb)[None],
+                    (jnp.int32(kp1), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                )
+                yb = cache_from_tile_rows(ynb)
                 # renormalize y so the loop neither explodes nor denormals
                 y = y / (jnp.sqrt(raw[B + 1]) + 1e-6)
-                return V, y
-            V, y = jax.lax.fori_loop(0, reps, body, (V, y))
+                return V, y, Vb, yb
+            V, y, Vb, yb = jax.lax.fori_loop(
+                0, reps, body, (V, y, Vb, boundary_cache(y, T))
+            )
             return y.sum()
         return run
 
