@@ -129,9 +129,12 @@ def config3():
 # --- config 4: real-Schur Arnoldi + expintegrator Hamiltonian step ---
 def config4():
     n = 1 << 20
-    # non-normal transport-diffusion stencil (real Schur path on device)
-    def op(x):
-        return 2.0 * x - 1.3 * jnp.roll(x, 1, axis=0) - 0.7 * jnp.roll(x, -1, axis=0)
+    # non-normal transport-diffusion stencil (real Schur path on device).
+    # As a StencilOperator (static offsets/coeffs, zero BC) the Arnoldi
+    # expansion runs the fused one-stream kernel (ops/pallas_fused_lanczos.py)
+    from krylovkit_tpu.ops.operator import StencilOperator
+
+    op = StencilOperator((-1, 0, 1), (-1.3, 2.0, -0.7))
 
     x0 = jnp.asarray(
         np.random.default_rng(1).standard_normal((n // 128, 128)), jnp.float32
@@ -139,7 +142,7 @@ def config4():
 
     def solve(x0):
         T, vecs, (re, im), info = kk.schursolve(
-            op, x0, 4, "LM", krylovdim=30, maxiter=8, tol=1e-30)
+            op, x0, 4, "LM", krylovdim=30, maxiter=8, tol=1e-30, orth=kk.cgs)
         return re, info.numops
 
     dt, (re, numops) = timed(solve, x0)

@@ -459,7 +459,8 @@ def _safe_inv(x):
     return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 1.0)
 
 
-def fused_expansions(op, state: KrylovState, s, m: int, btol, space, verbosity=0):
+def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
+                     verbosity=0, hermitian: bool = True):
     """Expand ``state`` from ``k`` to ``m`` with the one-stream fused kernel.
 
     Basis rows appended here are stored UNNORMALIZED (the raw residuals); the
@@ -471,6 +472,12 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space, verbosity=0
     Per restart cycle this performs exactly ``m - k`` operator applications
     (1 priming apply + 1 in-kernel apply per fused step, none in the tail
     step), matching the unfused loop's ``numops`` accounting.
+
+    ``hermitian=False`` runs the ARNOLDI variant: identical stream, but the
+    ``H`` column write keeps the full projection coefficients (upper
+    Hessenberg) instead of the tridiagonal ``(α, β)`` pair — the reference's
+    ``arnoldirecurrence`` + cgs ``orthogonalize!`` pair
+    (``src/factorizations/arnoldi.jl``).
 
     Returns ``(state_new, s_new, numops_increment)``.  Mirrors the semantics
     of the cgs fast path of :func:`expand_hermitian` iterated to ``k = m``
@@ -517,15 +524,21 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space, verbosity=0
         rfull = jnp.where(idx == k, rp, r)
         return jnp.where(idx <= k, s * s * rfull / b, 0.0), b
 
-    def h_column(H, k, alpha, beta):
-        # identical column-write pattern to the cgs path of expand_hermitian
+    def h_column(H, k, alpha, beta, c=None):
+        # identical column-write pattern to the cgs paths of
+        # expand_hermitian / expand; ``c`` (full projection coefficients of
+        # the NORMALIZED basis) switches to the Arnoldi full-column write
         oh_k = jax.nn.one_hot(k, kmax, dtype=H.dtype)
         oh_k1 = jax.nn.one_hot(k + 1, kmax, dtype=H.dtype)
-        col = alpha.astype(H.dtype) * oh_k + beta.astype(H.dtype) * oh_k1
+        if c is None:
+            col = alpha.astype(H.dtype) * oh_k + beta.astype(H.dtype) * oh_k1
+            mask = oh_k + oh_k1
+        else:
+            col = c.astype(H.dtype) + beta.astype(H.dtype) * oh_k1
+            mask = (idx <= k).astype(H.dtype) + oh_k1
         colold = jax.lax.dynamic_slice(
             H, (jnp.int32(0), jnp.asarray(k, jnp.int32)), (kmax, 1)
         )[:, 0]
-        mask = oh_k + oh_k1
         col = colold * (1 - mask) + col
         return jax.lax.dynamic_update_slice(
             H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
@@ -564,7 +577,13 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space, verbosity=0
         )
         ybc = pf.cache_from_tile_rows(ynb)
         beta_k = jnp.sqrt(qn)
-        H = h_column(H, k, alpha, beta_k)
+        if hermitian:
+            H = h_column(H, k, alpha, beta_k)
+        else:
+            b = jnp.sqrt(q)
+            rfull = jnp.where(idx == k, rp, r)
+            ccol = jnp.where(idx <= k, s * rfull / b, 0.0)
+            H = h_column(H, k, alpha, beta_k, c=ccol)
         s = jnp.where(idx == k + 1, _safe_inv(beta_k), s)
         return Vn, yn, Vbc, ybc, rnew, rpn, qn, s, k + 1, H
 
@@ -589,7 +608,13 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space, verbosity=0
     Vl = jax.lax.dynamic_update_index_in_dim(
         Vl, jnp.where(go, Wl, old_row), k + 1, 0
     )
-    H = jnp.where(go, h_column(H, k, alpha, beta_m), H)
+    if hermitian:
+        Htail = h_column(H, k, alpha, beta_m)
+    else:
+        rfull_t = jnp.where(idx == k, rp, r)
+        ccol_t = jnp.where(idx <= k, s * rfull_t / b, 0.0)
+        Htail = h_column(H, k, alpha, beta_m, c=ccol_t)
+    H = jnp.where(go, Htail, H)
     s = jnp.where(jnp.logical_and(go, idx == k + 1), _safe_inv(beta_m), s)
     k_out = k + go.astype(jnp.int32)
     beta_out = jnp.where(go, beta_m, jnp.sqrt(q)).astype(beta0.dtype)

@@ -49,6 +49,7 @@ class _LoopState(NamedTuple):
     Q: jax.Array  # (m+1, m+1) sorted Schur basis (block-diagonal)
     resnorms: jax.Array  # (m+1,) sorted Schur residual norms
     done: jax.Array
+    s: jax.Array  # (m+1,) basis-row scales (ones unless fused expansion)
 
 
 def _process(H, k, beta, which, tol):
@@ -70,7 +71,8 @@ def _process(H, k, beta, which, tol):
     return nconv.astype(jnp.int32), T, Q, res
 
 
-def _restart(fact: kf.KrylovState, T, Q, beta, keep, keep_max: int, gate=None):
+def _restart(fact: kf.KrylovState, T, Q, beta, keep, keep_max: int, gate=None,
+             scales=None):
     """Krylov-Schur truncation: keep the leading sorted Schur vectors.
 
     With ``gate`` the restart is MASKED instead of wrapped in ``lax.cond``
@@ -86,6 +88,11 @@ def _restart(fact: kf.KrylovState, T, Q, beta, keep, keep_max: int, gate=None):
     Qkeep = Qkeep + jax.nn.one_hot(k, m1, dtype=Q.dtype)[:, None] * jax.nn.one_hot(
         keep, m1, dtype=Q.dtype
     )[None, :]
+    if scales is not None:
+        # fused-expansion mode: stored rows are unnormalized (v_j = s_j·row_j)
+        # — rotate with diag(s)·Q; applied before the identity gate so a
+        # gated-off restart preserves the raw rows bit-exactly (lanczos.py)
+        Qkeep = scales[:, None].astype(Q.dtype) * Qkeep
     if gate is not None:
         Qkeep = jnp.where(gate, Qkeep, jnp.eye(m1, dtype=Q.dtype))
     Vnew = bs.transform_partial(V, Qkeep, keep_max + 1)
@@ -161,6 +168,18 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
         Q=jnp.eye(m + 1, dtype=cdt),
         resnorms=jnp.full((m + 1,), jnp.inf, rdt),
         done=jnp.asarray(False),
+        s=jnp.ones((m + 1,), jnp.float32),
+    )
+    from ..ops import orthonormal as on
+
+    # one-stream fused expansion (ops/pallas_fused_lanczos.py), Arnoldi mode:
+    # full-Hessenberg column writes; real f32 stencil operators + plain cgs
+    fused = (
+        real
+        and not alg.eager
+        and type(alg.orth) is on.ClassicalGramSchmidt
+        and cdt == jnp.float32
+        and kf.fused_available(op, x0, space)
     )
 
     def expand_one(c):
@@ -183,9 +202,17 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
                 )
             return go
 
-        fact, numops, _ = jax.lax.while_loop(
-            inner_cond, expand_one, (fact, numops, jnp.int32(0))
-        )
+        if fused:
+            fact, s_rows, dops = kf.fused_expansions(
+                op, fact, st.s, m, btol, space, verbosity=alg.verbosity,
+                hermitian=False,
+            )
+            numops = numops + dops
+        else:
+            s_rows = st.s
+            fact, numops, _ = jax.lax.while_loop(
+                inner_cond, expand_one, (fact, numops, jnp.int32(0))
+            )
 
         nconv, T, Q, res = process(fact.H, fact.k, fact.beta, which, tol)
         full = fact.k >= m
@@ -219,15 +246,18 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
             # non-eager: every processing but the last restarts — run the
             # masked (gated) restart unconditionally, avoiding cond copies
             fact = _restart(
-                fact, T, Q, fact.beta, keep, keep_max, gate=restart_now
+                fact, T, Q, fact.beta, keep, keep_max, gate=restart_now,
+                scales=s_rows if fused else None,
             )
+        s_rows = jnp.where(restart_now, jnp.ones_like(s_rows), s_rows)
         log_if(
             alg.verbosity, EACHITERATION,
             "Arnoldi schursolve in iteration {it}: {nc} values converged, "
             "normres = {nr}",
             it=numiter, nc=nconv, nr=res[: min(8, m)],
         )
-        return _LoopState(fact, numiter, numops, nconv, T, Q, res, done)
+        return _LoopState(fact, numiter, numops, nconv, T, Q, res, done,
+                          s_rows)
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
     return st
@@ -265,6 +295,7 @@ def schursolve(
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
     Qmask = jnp.where((rows < fact.k) & (cols < howmany), st.Q, 0)
+    Qmask = st.s[:, None].astype(Qmask.dtype) * Qmask  # fused row scales
     Vs = bs.transform(fact.V, Qmask)
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vs)
     Tsmall = st.T[:howmany, :howmany]
@@ -277,7 +308,10 @@ def schursolve(
         st.Q, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
-    vk = bs.get(fact.V, fact.k)
+    sk = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
+    vk = jax.tree_util.tree_map(
+        lambda l: sk.astype(l.dtype) * l, bs.get(fact.V, fact.k)
+    )
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )
@@ -326,8 +360,9 @@ def eigsolve_arnoldi(
         vals = (re + 1j * im).astype(cdt)[:howmany]
         QXre, QXim = st.Q @ Xre, st.Q @ Xim
         mask = (rows < fact.k) & (cols < howmany)
-        Vre = bs.transform(fact.V, jnp.where(mask, QXre, 0))
-        Vim = bs.transform(fact.V, jnp.where(mask, QXim, 0))
+        sc = st.s[:, None]
+        Vre = bs.transform(fact.V, sc * jnp.where(mask, QXre, 0))
+        Vim = bs.transform(fact.V, sc * jnp.where(mask, QXim, 0))
         vecs = jax.tree_util.tree_map(
             lambda lr, li: (lr[:howmany] + 1j * li[:howmany]).astype(cdt),
             Vre,
@@ -338,6 +373,7 @@ def eigsolve_arnoldi(
         X = dense.triangular_eigvecs(st.T, fact.k)  # eigvecs of T in Schur basis
         QX = st.Q @ X
         QXmask = jnp.where((rows < fact.k) & (cols < howmany), QX, 0)
+        QXmask = st.s[:, None].astype(QXmask.dtype) * QXmask
         Ve = bs.transform(fact.V, QXmask)
         vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Ve)
         vals = jnp.diagonal(st.T)[:howmany]
@@ -346,8 +382,9 @@ def eigsolve_arnoldi(
         QX, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
+    sk = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
     vk = bs.get(fact.V, fact.k)
-    vk = jax.tree_util.tree_map(lambda l: l.astype(cdt), vk)
+    vk = jax.tree_util.tree_map(lambda l: (sk * l).astype(cdt), vk)
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )
@@ -408,14 +445,17 @@ def realeigsolve_arnoldi(
     Xre, _ = dense.triangular_eigvecs_real(st.T, fact.k)
     QX = st.Q @ Xre
     mask = (rows < fact.k) & (cols < howmany)
-    Ve = bs.transform(fact.V, jnp.where(mask, QX, 0))
+    Ve = bs.transform(fact.V, st.s[:, None] * jnp.where(mask, QX, 0))
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Ve)
     vals = re[:howmany]
     lastrow = jax.lax.dynamic_index_in_dim(
         QX, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
-    vk = bs.get(fact.V, fact.k)
+    sk = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
+    vk = jax.tree_util.tree_map(
+        lambda l: sk.astype(l.dtype) * l, bs.get(fact.V, fact.k)
+    )
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )
