@@ -206,9 +206,31 @@ class BandedOperator(LinearOperator):
         # no wider than one tile
         return R // tr >= 2 and QLO <= tr and QHI <= tr
 
+    # VMEM capacity of one v5e core; the dispatch rule below is calibrated on
+    # it (tools/bench_vmem_crossover.py + the round-3 tridiagonal A/B)
+    _VMEM_BYTES = 128 * 2**20
+
+    def _prefer_pallas(self, x) -> bool:
+        """Measured dispatch law (one v5e chip, f32):
+
+        * tridiagonal (3 offsets), n=2M — working set 5·8 MB = 40 MB, VMEM
+          resident: XLA shift-and-add wins (27.8 vs 37.8 µs; RESULTS.md).
+        * halfband 8 (17 offsets), n ∈ {2M, 16M, 32M} — working sets
+          152 MB–2.4 GB: the Pallas kernel wins 1.7–2.7×
+          (tools/bench_vmem_crossover.py, 2026-08-20).
+
+        Both are explained by whether the per-apply working set
+        ``(nδ + 2)·n·4`` fits VMEM: inside, XLA keeps the vector resident
+        across loop iterations and its per-offset rolls are free; beyond,
+        XLA pays a pass per offset while the kernel reads ``x`` once per
+        tile window."""
+        nd = len(self.offsets)
+        itemsize = jnp.dtype(x.dtype).itemsize
+        return (nd + 2) * self.n * itemsize > self._VMEM_BYTES
+
     def _matvec(self, x):
         shape = x.shape
-        if self._pallas_ok(x):
+        if self._pallas_ok(x) and self._prefer_pallas(x):
             x2 = x.reshape(self.n // LANES, LANES)
             y = _spmv_pallas(x2, self.diags, self.offsets, self.tile_rows)
         else:
