@@ -150,16 +150,16 @@ def config4():
     report("arnoldi_realschur_nonsym", ops * 3 * n / dt / 1e9, "Gnnz/s",
            f"n={n}, {ops} applies in {dt*1e3:.1f} ms")
 
-    lap = laplacian_1d(n, jnp.float32)
-    # define the operator ONCE: the solver jit cache keys on the callable's
-    # identity, so a fresh lambda per call would recompile every time
-    neg_lap = lambda v: -lap.normal(v)  # noqa: E731
+    # −Laplacian as a StencilOperator: static metadata lets exponentiate's
+    # Lanczos subspace run the fused one-stream expansion (a plain lambda
+    # would hide it — and a fresh lambda per call would also recompile)
+    neg_lap = StencilOperator((-1, 0, 1), (1.0, -2.0, 1.0))
 
     # exponentiate's front-end does host-side setup: call it directly (its
     # core is jitted internally)
     def step(x0):
         y, info = kk.exponentiate(neg_lap, 0.1, x0, krylovdim=30, tol=1e-4,
-                                  ishermitian=True)
+                                  ishermitian=True, orth=kk.cgs)
         return y, info.numops
 
     y, numops = step(x0)

@@ -62,6 +62,7 @@ class _State(NamedTuple):
     numops: jax.Array
     done: jax.Array
     fixedpt: jax.Array  # converged to fixed point (t=Inf, p==1 path)
+    s: jax.Array  # (m+1,) basis-row scales (ones unless fused expansion)
 
 
 def _build_aug(H, K, p, coeff, m1p):
@@ -200,6 +201,17 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
     beta0 = space.norm(wp1)
 
     fact0 = kf.initialize(wp1, m, cdt, space, vec_dtype=cdt)
+    # one-stream fused expansion (ops/pallas_fused_lanczos.py): Hermitian
+    # Lanczos subspaces of real f32 stencil operators under plain cgs
+    from ..ops import orthonormal as on
+
+    fused = (
+        isinstance(alg, Lanczos)
+        and not alg.eager
+        and type(alg.orth) is on.ClassicalGramSchmidt
+        and cdt == jnp.float32
+        and kf.fused_available(op, u[0], space)
+    )
     st0 = _State(
         fact=fact0,
         w=wtuple,
@@ -213,6 +225,7 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
         numops=numops0,
         done=jnp.asarray(False),
         fixedpt=jnp.asarray(False),
+        s=jnp.ones((m + 1,), jnp.float32),
     )
     # immediate fixed-point detection (reference :127-135); the reference
     # reports numiter = 0 on this exit (":163: ConvergenceInfo(1, …, 0, numops)")
@@ -239,7 +252,10 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
         )[:, 0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (m1p,), 0)
         col = jnp.where(rows < K, col, 0)
-        wp1 = bs.unproject(fact.V, col[: m + 1])  # K ≤ m < m+1: no truncation loss
+        # fused expansion stores rows unnormalized (v_j = s_j·row_j): fold the
+        # scales into the unprojection coefficients (identity when s == 1)
+        colm = col[: m + 1] * st.s.astype(col.dtype)
+        wp1 = bs.unproject(fact.V, colm)  # K ≤ m < m+1: no truncation loss
         Km1 = jnp.maximum(K - 1, 0)
         corr = jax.lax.dynamic_index_in_dim(
             jax.lax.dynamic_index_in_dim(expH, Km1, 0, keepdims=False),
@@ -247,8 +263,11 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
             0,
             keepdims=False,
         )
-        # residual vector = β_fact · V[K]
-        vK = bs.get(fact.V, fact.k)
+        # residual vector = β_fact · V[K]  (scaled row)
+        sK = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
+        vK = jax.tree_util.tree_map(
+            lambda l: sK.astype(l.dtype) * l, bs.get(fact.V, fact.k)
+        )
         wp1 = add(wp1, vK, a=corr * fact.beta.astype(cdt))
         w0 = add(w0, wp1, a=st.beta.astype(cdt) * sgn_dt**p)
         wnew = (w0,) + st.w[1:]
@@ -294,9 +313,34 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
             return H
 
         can = jnp.logical_and(fact.k < m, fact.beta > 0)
-        fact, numops = jax.lax.cond(can, expand_one, lambda c: c, (fact, numops))
-        fact, numops = jax.lax.while_loop(inner_cond, expand_one, (fact, numops))
-        st = st._replace(fact=fact, numops=numops)
+        if fused:
+            # the unfused pair below runs while beta > max(eps, (τ−τ₀)·η)
+            # (both loop-exit tests are lower bounds on β) — pass that
+            # combined threshold as the fused loop's breakdown tolerance
+            btol_eff = jnp.maximum(
+                jnp.asarray(jnp.finfo(rdt).eps, rdt), (tau - st.tau0) * eta
+            )
+
+            def run_fused(c):
+                fact, s_rows, numops = c
+                fact, s_rows, dops = kf.fused_expansions(
+                    op, fact, s_rows, m, btol_eff, space,
+                    verbosity=alg.verbosity, hermitian=True,
+                )
+                return fact, s_rows, numops + dops
+
+            fact, s_rows, numops = jax.lax.cond(
+                can, run_fused, lambda c: c, (fact, st.s, numops)
+            )
+            st = st._replace(fact=fact, numops=numops, s=s_rows)
+        else:
+            fact, numops = jax.lax.cond(
+                can, expand_one, lambda c: c, (fact, numops)
+            )
+            fact, numops = jax.lax.while_loop(
+                inner_cond, expand_one, (fact, numops)
+            )
+            st = st._replace(fact=fact, numops=numops)
 
         K = fact.k
         # "complete": subspace at capacity OR invariant (breakdown) — in the
@@ -404,6 +448,7 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
                 numiter=jnp.where(fixed, st.numiter, st.numiter + 1),
                 numops=numops,
                 done=st.done | fixed, fixedpt=fixed,
+                s=jnp.ones_like(st.s),
             )
 
         need_restart = jnp.logical_not(finished) & complete

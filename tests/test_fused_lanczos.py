@@ -249,3 +249,27 @@ def test_fused_realeigsolve():
         v = vecs[i]
         r = op.normal(v) - vals[i] * v
         assert float(jnp.linalg.norm(r)) < 2e-2
+
+
+def test_fused_exponentiate_matches_unfused():
+    # expintegrator's Lanczos subspace through the fused path
+    n = 1 << 12
+    neg_lap = StencilOperator((-1, 0, 1), (1.0, -2.0, 1.0))
+    x0 = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n // 128, 128)), jnp.float32
+    )
+    out = {}
+    for flag in (False, True):
+        old = kf.use_fused_expansion
+        kf.use_fused_expansion = flag
+        try:
+            y, info = kk.exponentiate(
+                neg_lap, 0.1, x0, krylovdim=30, tol=1e-4, ishermitian=True,
+                orth=kk.cgs,
+            )
+        finally:
+            kf.use_fused_expansion = old
+        out[flag] = (np.asarray(y), int(info.numops), int(info.converged))
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-4, atol=1e-6)
+    assert out[True][1] == out[False][1]
+    assert out[True][2] == out[False][2] == 1
