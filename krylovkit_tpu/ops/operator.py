@@ -337,7 +337,13 @@ def check_adjoint_compatibility(op: LinearOperator, x0: PyTree, space=None) -> N
     alpha = norm(v, space) / b0
     Av = op.normal(v)
     alpha2 = inner(x0, Av, space) / (b0 * b0)
-    a2 = complex(jnp.asarray(alpha2, jnp.complex128))
+    # fetch to HOST before any complex conversion: jnp.asarray(., complex128)
+    # would materialize a complex array ON DEVICE, which is UNIMPLEMENTED on
+    # complex-less TPU runtimes (axon) and poisons every later program in the
+    # process — found by tools/tpu_smoke.py cascading 5 family failures
+    import numpy as _np
+
+    a2 = complex(_np.asarray(jax.device_get(alpha2)))
     aa = float(alpha) ** 2
     rdt = jnp.finfo(jnp.result_type(*(l.dtype for l in leaves))).eps
     if abs(a2 - aa) > (rdt ** 0.5) * max(abs(a2), aa, 1e-30):
