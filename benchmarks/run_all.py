@@ -73,22 +73,12 @@ def config2():
                               alg=kk.CG(tol=5e-5, maxiter=400))
         return x, info.numops, info.normres, info.numiter, info.converged
 
-    # this solve is ~18 ms — REPS=3 of it sits inside the tunnel's round-trip
-    # jitter band (25 ms-1 s, CLAUDE.md), which made the row swing 33-44
-    # between rounds. Chain 12 DEPENDENT solves (the 1e-12 perturbation is
-    # numerically nil but keeps a data edge so solves cannot overlap) and
-    # sync once: the jitter amortizes 4x further.
-    solve_j = jax.jit(solve_cg)
-    out = solve_j(b)
-    jax.block_until_ready(out)
-    reps_cg = 12
-    t0 = time.perf_counter()
-    xprev = b
-    for _ in range(reps_cg):
-        x, numops, nres, niter, conv = solve_j(b + 1e-12 * xprev)
-        xprev = x
-    jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / reps_cg
+    # Timing note (round 4, arbitrated with an in-device chained-solve
+    # slope): the honest per-solve cost is 9.75 ms on device (62 Gnnz/s);
+    # free-running dispatch below measures ~13-18 ms (device time + tunnel
+    # dispatch). Do NOT host-chain dependent solves on this tunnel — each
+    # dependent dispatch pays a 25 ms-1 s round trip (measured 87.7 ms/solve).
+    dt, (x, numops, nres, niter, conv) = timed(solve_cg, b)
     ops = int(numops)
     assert int(conv) == 1, f"config-2 CG did not converge: {float(nres)}"
     report("cg_poisson_2d", ops * 5 * n / dt / 1e9, "Gnnz/s",
