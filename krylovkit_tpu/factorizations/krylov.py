@@ -424,15 +424,21 @@ use_fused_expansion = True
 fused_interpret = False
 
 
-def fused_available(op, x0, space: VectorSpace) -> bool:
+def fused_available(op, x0, space: VectorSpace, kmax=None) -> bool:
     """Static eligibility of the one-stream fused expansion: a real
-    constant-coefficient :class:`~..ops.operator.StencilOperator` with offsets
-    within one lane-row, a single ``(R, 128)`` float32 leaf, the standard
-    inner product, and a TPU backend (or interpret mode for tests)."""
+    constant-coefficient :class:`~..ops.operator.StencilOperator` (chain or
+    2-D grid) with in-window offsets, a single ``(R, 128)`` float32 leaf, the
+    standard inner product, and a TPU backend (or interpret mode for tests).
+    ``kmax`` (the ``(m+1)²`` H-buffer size) must leave room for the kernel's
+    packed reduction row: ``kmax + 2 <= 128``."""
     from ..ops.operator import StencilOperator
     from ..ops import pallas_fused_lanczos as pf
 
     if not use_fused_expansion:
+        return False
+    if kmax is not None and kmax + 2 > pf.LANES:
+        # the kernel packs B coeffs + γ + 2 reductions into one 128-lane row;
+        # krylovdim ≥ 126 must fall back to the unfused path, not crash
         return False
     if not isinstance(op, StencilOperator):
         return False
@@ -460,14 +466,17 @@ def _safe_inv(x):
 
 
 def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
-                     verbosity=0, hermitian: bool = True):
+                     verbosity=0, hermitian: bool = True,
+                     min_one: bool = False):
     """Expand ``state`` from ``k`` to ``m`` with the one-stream fused kernel.
 
     Basis rows appended here are stored UNNORMALIZED (the raw residuals); the
     scale vector ``s`` (``s[j] = 1/|row j|``; 1 for normalized rows) carries
     the bookkeeping — the caller must fold ``diag(s)`` into any basis use
-    (restart rotation, extraction).  On ENTRY all rows must be normalized
-    (``s == 1``): true after ``initialize`` and after every scaled restart.
+    (restart rotation, extraction).  Entry does NOT require normalized rows:
+    the priming norm of row ``k`` is derived from ``s[k]`` (``|row_k| =
+    1/s[k]``), so re-entering with a partially built unnormalized subspace —
+    the expintegrator's rejected-partial-attempt path — continues correctly.
 
     Per restart cycle this performs exactly ``m - k`` operator applications
     (1 priming apply + 1 in-kernel apply per fused step, none in the tail
@@ -478,6 +487,12 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
     Hessenberg) instead of the tridiagonal ``(α, β)`` pair — the reference's
     ``arnoldirecurrence`` + cgs ``orthogonalize!`` pair
     (``src/factorizations/arnoldi.jl``).
+
+    ``min_one=True`` forces at least one expansion step even when the entry
+    residual is already below ``btol`` — the expintegrator outer loop must
+    make progress after a rejected partial attempt, exactly as the reference
+    unconditionally expands once per outer iteration while ``K < krylovdim``
+    (``src/matrixfun/expintegrator.jl:285-287``).
 
     Returns ``(state_new, s_new, numops_increment)``.  Mirrors the semantics
     of the cgs fast path of :func:`expand_hermitian` iterated to ``k = m``
@@ -506,7 +521,14 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
     Vl = leaf_of(V)
     r = bs.project_bucketed(V, y, k0 + 1, space).astype(jnp.float32)
     rp = r[k0]
-    q = jnp.ones((), jnp.float32)
+    # |row_{k0}|² from the scale vector (1/s[k0] = |row|): rows may re-enter
+    # unnormalized after an early residual-budget stop whose partial attempt
+    # was rejected (solvers/expintegrator.py) — hardcoding q = 1 there scaled
+    # H column k0 by β² and broke the breakdown gate (round-4 advisor finding)
+    sk0 = jax.lax.dynamic_index_in_dim(
+        s.astype(jnp.float32), k0, 0, keepdims=False
+    )
+    q = _safe_inv(sk0) ** 2
     # boundary caches (halo rows per tile) — O(R/T) data.  Built once per
     # cycle here and updated incrementally from the kernel's per-tile
     # first/last-row outputs: strided-slicing the 250 MB buffer per STEP
@@ -547,7 +569,10 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
     # ---- fused steady loop: append rows k0+1 .. m-1
     def cond(c):
         Vl, yl, Vbc, ybc, r, rp, q, s, k, H = c
-        return jnp.logical_and(k < m - 1, jnp.sqrt(q) > btol)
+        go = jnp.sqrt(q) > btol
+        if min_one:
+            go = jnp.logical_or(go, k == k0)
+        return jnp.logical_and(k < m - 1, go)
 
     def body(c):
         Vl, yl, Vbc, ybc, r, rp, q, s, k, H = c
@@ -595,7 +620,10 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
     # bucketed subtract.  Masked, not cond-wrapped: branch outputs would
     # defensively copy the basis buffer (same reasoning as the masked
     # restart in solvers/lanczos.py).
-    go = jnp.logical_and(k == m - 1, jnp.sqrt(q) > btol)
+    go_tail = jnp.sqrt(q) > btol
+    if min_one:
+        go_tail = jnp.logical_or(go_tail, k == k0)
+    go = jnp.logical_and(k == m - 1, go_tail)
     gsub, b = subtract_coeffs(r, rp, q, s, k)
     alpha = rp / q
     Vtree = jax.tree_util.tree_unflatten(treedef, [Vl])

@@ -145,7 +145,14 @@ def _stencil_apply_fn(offsets, coeffs):
         n = 1
         for d in shape:
             n *= d
-        if x.ndim >= 2:
+        if x.ndim > 2:
+            # whole-leaf row-major flattening (the documented semantics):
+            # collapse leading dims into rows so the 2-D path's cross-row
+            # carries connect adjacent leading slices (a free reshape — the
+            # trailing dim is preserved)
+            C = shape[-1]
+            return apply(x.reshape((n // C, C))).reshape(shape)
+        if x.ndim == 2:
             # operate in the native 2-D layout: offset δ decomposes into a
             # last-axis roll with a cross-row carry — no flattening reshape
             # (a flat (n,) relayout costs a full pass; CLAUDE.md perf facts)

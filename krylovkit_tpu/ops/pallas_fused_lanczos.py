@@ -244,6 +244,12 @@ def fused_step(
 
     kmax, R, C = V.shape
     assert C == LANES
+    if B + 2 > LANES:
+        raise ValueError(
+            f"fused_step packs B + 2 = {B + 2} reduction lanes into one "
+            f"{LANES}-lane row; krylovdim must satisfy kmax + 2 <= {LANES} "
+            "(fused_available gates this — fall back to the unfused path)"
+        )
     T = tile_rows
     while T > 8 and (R % T != 0 or R // T < 2):
         T //= 2

@@ -179,7 +179,7 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
         and not alg.eager
         and type(alg.orth) is on.ClassicalGramSchmidt
         and cdt == jnp.float32
-        and kf.fused_available(op, x0, space)
+        and kf.fused_available(op, x0, space, kmax=m + 1)
     )
 
     def expand_one(c):

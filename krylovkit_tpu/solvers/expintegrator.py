@@ -210,7 +210,7 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
         and not alg.eager
         and type(alg.orth) is on.ClassicalGramSchmidt
         and cdt == jnp.float32
-        and kf.fused_available(op, u[0], space)
+        and kf.fused_available(op, u[0], space, kmax=m + 1)
     )
     st0 = _State(
         fact=fact0,
@@ -323,9 +323,14 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
 
             def run_fused(c):
                 fact, s_rows, numops = c
+                # min_one: after a REJECTED partial attempt the loop re-enters
+                # with β ≤ btol_eff and an unnormalized last row; the
+                # reference still expands one step per outer iteration
+                # (src/matrixfun/expintegrator.jl:285-287) — without it the
+                # outer loop would livelock on the rejected state
                 fact, s_rows, dops = kf.fused_expansions(
                     op, fact, s_rows, m, btol_eff, space,
-                    verbosity=alg.verbosity, hermitian=True,
+                    verbosity=alg.verbosity, hermitian=True, min_one=True,
                 )
                 return fact, s_rows, numops + dops
 

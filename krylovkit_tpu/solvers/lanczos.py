@@ -182,7 +182,7 @@ def eigsolve_lanczos(
         and not selective
         and type(alg.orth) is on.ClassicalGramSchmidt
         and cdt == jnp.float32
-        and kf.fused_available(op, x0, space)
+        and kf.fused_available(op, x0, space, kmax=m + 1)
     )
 
     def outer_body(st: _LoopState) -> _LoopState:

@@ -273,3 +273,76 @@ def test_fused_exponentiate_matches_unfused():
     np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-4, atol=1e-6)
     assert out[True][1] == out[False][1]
     assert out[True][2] == out[False][2] == 1
+
+
+def test_fused_reentry_with_unnormalized_rows():
+    # fused_expansions entered mid-build with unnormalized stored rows (the
+    # expintegrator rejected-partial-attempt path): the priming norm must come
+    # from the scale vector, not an assumed q = 1 (round-4 advisor finding).
+    n = 1 << 12
+    op = laplacian_1d(n, jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(11).standard_normal((n // 128, 128)), jnp.float32
+    )
+    m = 12
+    btol = jnp.asarray(1e-12, jnp.float32)
+    st0 = kf.initialize(x0, m, jnp.float32)
+    ones = jnp.ones((m + 1,), jnp.float32)
+
+    stA, sA, opsA = kf.fused_expansions(op, st0, ones, m, btol, STANDARD)
+    st1, s1, ops1 = kf.fused_expansions(op, st0, ones, 6, btol, STANDARD)
+    # row 6 of st1 is stored unnormalized with scale s1[6] != 1
+    assert abs(float(s1[6]) - 1.0) > 1e-3
+    st2, s2, ops2 = kf.fused_expansions(op, st1, s1, m, btol, STANDARD)
+
+    assert int(opsA) == int(ops1) + int(ops2)
+    np.testing.assert_allclose(
+        np.asarray(jnp.tril(st2.H)), np.asarray(jnp.tril(stA.H)),
+        rtol=5e-4, atol=5e-5,
+    )
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(sA), rtol=5e-4)
+    VA = np.asarray(jax.tree_util.tree_leaves(stA.V)[0])
+    V2 = np.asarray(jax.tree_util.tree_leaves(st2.V)[0])
+    np.testing.assert_allclose(V2, VA, rtol=5e-4, atol=5e-5)
+
+
+def test_fused_min_one_forces_progress():
+    # min_one=True must expand exactly one step even when the entry residual
+    # is below btol (reference expands once per outer iteration while
+    # K < krylovdim, src/matrixfun/expintegrator.jl:285-287)
+    n = 1 << 12
+    op = laplacian_1d(n, jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(12).standard_normal((n // 128, 128)), jnp.float32
+    )
+    m = 10
+    st0 = kf.initialize(x0, m, jnp.float32)
+    ones = jnp.ones((m + 1,), jnp.float32)
+    huge = jnp.asarray(1e6, jnp.float32)  # btol above any residual
+    st, s, ops = kf.fused_expansions(op, st0, ones, m, huge, STANDARD)
+    assert int(st.k) == 0 and int(ops) == 1  # gate refuses (prime only)
+    st, s, ops = kf.fused_expansions(
+        op, st0, ones, m, huge, STANDARD, min_one=True
+    )
+    assert int(st.k) == 1
+
+
+def test_fused_gate_kmax_lanes():
+    n = 1 << 12
+    op = laplacian_1d(n, jnp.float32)
+    x0 = jnp.ones((n // 128, 128), jnp.float32)
+    assert kf.fused_available(op, x0, STANDARD, kmax=126)
+    assert not kf.fused_available(op, x0, STANDARD, kmax=127)
+
+
+def test_stencil_operator_ndim3_leaf_flattening():
+    # ndim > 2 leaves follow the documented whole-leaf row-major flattening
+    # (cross-slice carries included), not independent per-slice blocks
+    n = 1024
+    offsets = (-2, 0, 1)
+    coeffs = (0.3, -1.0, 0.7)
+    op = StencilOperator(offsets, coeffs)
+    x = np.random.default_rng(13).standard_normal(n).astype(np.float32)
+    want = np.asarray(op.normal(jnp.asarray(x)))
+    got = np.asarray(op.normal(jnp.asarray(x.reshape(2, 4, 128)))).reshape(n)
+    np.testing.assert_allclose(got, want, atol=1e-5)
