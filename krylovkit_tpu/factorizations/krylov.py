@@ -426,12 +426,13 @@ fused_interpret = False
 
 def fused_available(op, x0, space: VectorSpace, kmax=None) -> bool:
     """Static eligibility of the one-stream fused expansion: a real
-    constant-coefficient :class:`~..ops.operator.StencilOperator` (chain or
-    2-D grid) with in-window offsets, a single ``(R, 128)`` float32 leaf, the
-    standard inner product, and a TPU backend (or interpret mode for tests).
-    ``kmax`` (the ``(m+1)²`` H-buffer size) must leave room for the kernel's
-    packed reduction row: ``kmax + 2 <= 128``."""
-    from ..ops.operator import StencilOperator
+    constant-coefficient :class:`~..ops.operator.StencilOperator` (flat
+    chain) or :class:`~..ops.operator.GridStencilOperator` (2-D grid) whose
+    offsets fit the kernel's halo window (``pf.spec_for``), a single
+    ``(R, 128)`` float32 leaf, the standard inner product, and a TPU backend
+    (or interpret mode for tests).  ``kmax`` (the ``(m+1)²`` H-buffer size)
+    must leave room for the kernel's packed reduction row:
+    ``kmax + 2 <= 128``."""
     from ..ops import pallas_fused_lanczos as pf
 
     if not use_fused_expansion:
@@ -440,11 +441,8 @@ def fused_available(op, x0, space: VectorSpace, kmax=None) -> bool:
         # the kernel packs B coeffs + γ + 2 reductions into one 128-lane row;
         # krylovdim ≥ 126 must fall back to the unfused path, not crash
         return False
-    if not isinstance(op, StencilOperator):
-        return False
-    if any(isinstance(c, complex) for c in op.coeffs):
-        return False
-    if not pf.supported_stencil(op.offsets):
+    spec = pf.spec_for(op)
+    if spec is None:
         return False
     if space.inner_fn is not None:
         return False
@@ -455,6 +453,14 @@ def fused_available(op, x0, space: VectorSpace, kmax=None) -> bool:
     if l.ndim != 2 or l.shape[1] != 128 or l.dtype != jnp.float32:
         return False
     if l.shape[0] % 8 != 0 or l.shape[0] < 16:
+        return False
+    # grid vectors must cover the grid exactly (zero halos at the array
+    # ends ARE the grid's top/bottom Dirichlet boundary)
+    if spec.gc and l.shape[0] * 128 != spec.gr * spec.gc:
+        return False
+    try:
+        pf.choose_tile(l.shape[0], h=spec.h)
+    except ValueError:
         return False
     if jax.default_backend() != "tpu" and not fused_interpret:
         return False
@@ -503,8 +509,8 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
     V, H, k0, beta0 = state
     kmax = H.shape[0]
     treedef = jax.tree_util.tree_structure(V)
-    offsets = tuple(int(d) for d in op.offsets)
-    coeffs = tuple(float(c) for c in op.coeffs)
+    spec = pf.spec_for(op)
+    assert spec is not None, "fused_expansions requires a fusable stencil op"
     idx = jnp.arange(kmax)
     buckets = bs.buckets_for(kmax)
     k0 = jnp.asarray(k0, jnp.int32)
@@ -533,9 +539,9 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
     # cycle here and updated incrementally from the kernel's per-tile
     # first/last-row outputs: strided-slicing the 250 MB buffer per STEP
     # costs more than the fused kernel itself (tools/bench_fused_variants.py)
-    T = pf.choose_tile(Vl.shape[1])
-    Vbc = pf.boundary_cache(Vl, T)
-    ybc = pf.boundary_cache(yl, T)
+    T = pf.choose_tile(Vl.shape[1], h=spec.h)
+    Vbc = pf.boundary_cache(Vl, T, spec.h)
+    ybc = pf.boundary_cache(yl, T, spec.h)
 
     def subtract_coeffs(r, rp, q, s, k):
         # w\' = A v_k - sum_{j<=k} <v_j, A v_k> v_j on the STORED (scaled)
@@ -584,7 +590,7 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
             def br(Vl, yl, Vbc, ybc, gfull):
                 Vn, yn, raw, wb, ynb = pf.fused_step(
                     Vl, yl, Vbc, ybc, gfull, jnp.asarray(k + 1, jnp.int32),
-                    B, coeffs, offsets, interpret=fused_interpret,
+                    B, spec, interpret=fused_interpret,
                 )
                 rnew = jnp.pad(raw[:B], (0, kmax - B))
                 return Vn, yn, rnew, raw[B], raw[B + 1], wb, ynb
@@ -598,7 +604,7 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
         Vbc = jax.lax.dynamic_update_slice(
             Vbc, pf.cache_from_tile_rows(wb)[None],
             (jnp.asarray(k + 1, jnp.int32), jnp.int32(0), jnp.int32(0),
-             jnp.int32(0)),
+             jnp.int32(0), jnp.int32(0)),
         )
         ybc = pf.cache_from_tile_rows(ynb)
         beta_k = jnp.sqrt(qn)

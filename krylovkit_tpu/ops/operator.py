@@ -36,6 +36,8 @@ OperatorLike = Union[jax.Array, Callable, Tuple]
 __all__ = [
     "LinearOperator",
     "ParametricOperator",
+    "StencilOperator",
+    "GridStencilOperator",
     "as_operator",
     "as_generalized_pair",
     "apply_shifted",
@@ -196,6 +198,130 @@ jax.tree_util.register_pytree_node(
     StencilOperator,
     lambda op: ((), (op.offsets, op.coeffs, op.normal, op.adjoint)),
     lambda aux, _: StencilOperator(aux[0], aux[1], aux[2], aux[3]),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridStencilOperator(LinearOperator):
+    """Constant-coefficient stencil on the row-major flattening of a 2-D grid
+    ``(grid_rows, grid_cols)`` with offsets given as ``(dy, dx)`` pairs and
+    ZERO (Dirichlet) boundaries on BOTH axes::
+
+        (A x)[iy, ix] = Σ_p coeffs[p] · x[iy + dy_p, ix + dx_p]
+
+    with out-of-grid neighbours contributing nothing — unlike
+    :class:`StencilOperator`'s flat-chain semantics, an ``ix ± 1`` neighbour
+    never wraps into the adjacent grid row.  This is the 2-D Poisson / grid-PDE
+    operator class (BASELINE config 2).
+
+    The grid is STATIC metadata, so the operator is *fusable*: the one-stream
+    expansion kernel (``ops/pallas_fused_lanczos.py``) applies it tile-locally
+    with multi-row halos (``dy`` reaches ``grid_cols/128`` layout rows) and
+    per-lane grid masks.  The default ``normal``/``adjoint`` is a roll-based
+    XLA apply accepting vectors shaped ``(grid_rows, grid_cols)``, any
+    ``(R, C)`` row-major layout with ``grid_cols % C == 0`` (use ``(n/128,
+    128)`` on TPU — see ``ops/basis.py``), or flat ``(n,)``.
+
+    Reference counterpart: the reference applies such operators as generic
+    sparse ``A*x`` (``src/apply.jl:1-2``); the static-metadata redesign is
+    what lets TPU fuse them into the basis stream.
+    """
+
+    grid: Tuple[int, int] = ()
+    offsets2: Tuple[Tuple[int, int], ...] = ()
+    coeffs: Tuple[float, ...] = ()
+
+    def __init__(self, grid, offsets2, coeffs, normal=None, adjoint=None):
+        grid = (int(grid[0]), int(grid[1]))
+        offsets2 = tuple((int(dy), int(dx)) for dy, dx in offsets2)
+        coeffs = tuple(
+            complex(c).real if complex(c).imag == 0 else complex(c)
+            for c in coeffs
+        )
+        object.__setattr__(self, "grid", grid)
+        object.__setattr__(self, "offsets2", offsets2)
+        object.__setattr__(self, "coeffs", coeffs)
+        object.__setattr__(
+            self, "normal",
+            normal or _grid_stencil_apply_fn(grid, offsets2, coeffs),
+        )
+        if adjoint is None:
+            adj_off = tuple((-dy, -dx) for dy, dx in reversed(offsets2))
+            adj_cf = tuple(
+                (c.conjugate() if isinstance(c, complex) else c)
+                for c in reversed(coeffs)
+            )
+            adjoint = _grid_stencil_apply_fn(grid, adj_off, adj_cf)
+        object.__setattr__(self, "adjoint", adjoint)
+
+
+def _grid_stencil_apply_fn(grid, offsets2, coeffs):
+    """Roll-based XLA apply of a 2-D grid stencil with zero BC on both axes.
+    Works on ``(grid_rows, grid_cols)``, ``(R, C)`` with ``grid_cols % C ==
+    0``, flat ``(n,)``, and higher-rank leaves (leading dims folded into
+    rows).  Tile-local on TPU: ``dy`` lowers to whole-row rolls, ``dx`` to a
+    lane roll + one-row carry + a per-lane mask."""
+    gr_, gc_ = grid
+    n = gr_ * gc_
+
+    def apply(x):
+        shape = x.shape
+        if x.ndim == 1:
+            idx = jnp.arange(n)
+            iy, ix = idx // gc_, idx % gc_
+            y = None
+            for c, (dy, dx) in zip(coeffs, offsets2):
+                sh = jnp.roll(x, -(dy * gc_ + dx))
+                valid = (
+                    (iy + dy >= 0) & (iy + dy < gr_)
+                    & (ix + dx >= 0) & (ix + dx < gc_)
+                )
+                t = jnp.where(valid, sh, 0)
+                y = c * t if y is None else y + c * t
+            return y
+        if x.ndim > 2:
+            C = shape[-1]
+            nn = 1
+            for d in shape:
+                nn *= d
+            return apply(x.reshape((nn // C, C))).reshape(shape)
+        R, C = shape
+        if gc_ % C != 0:
+            # non-tileable column width: correctness fallback via flat view
+            return apply(x.reshape((R * C,))).reshape(shape)
+        mrow = gc_ // C
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        ix = (ridx % mrow) * C + lane
+        y = None
+        for c, (dy, dx) in zip(coeffs, offsets2):
+            d = dy * gc_ + dx  # flat offset
+            q, r = divmod(d, C)
+            sh = jnp.roll(x, -r, axis=-1) if r else x
+            if r:
+                sh_next = jnp.roll(sh, -(q + 1), axis=0)
+                sh_same = jnp.roll(sh, -q, axis=0) if q else sh
+                t = jnp.where(lane < C - r, sh_same, sh_next)
+                src_row = jnp.where(lane < C - r, ridx + q, ridx + q + 1)
+            else:
+                t = jnp.roll(sh, -q, axis=0) if q else sh
+                src_row = ridx + q
+            # flat-range mask covers the dy extent (given the ix mask below,
+            # src flat index in [0, n) ⟺ iy + dy in [0, grid_rows))
+            valid = (src_row >= 0) & (src_row < R)
+            if dx:
+                valid &= (ix + dx >= 0) & (ix + dx < gc_)
+            t = jnp.where(valid, t, 0)
+            y = c * t if y is None else y + c * t
+        return y
+
+    return apply
+
+
+jax.tree_util.register_pytree_node(
+    GridStencilOperator,
+    lambda op: ((), (op.grid, op.offsets2, op.coeffs, op.normal, op.adjoint)),
+    lambda aux, _: GridStencilOperator(*aux),
 )
 
 

@@ -1,7 +1,7 @@
-"""Fused Lanczos expansion step for stencil operators — one basis stream.
+"""Fused Krylov expansion step for stencil operators — one basis stream.
 
-The CGS Lanczos step costs ``2B + 9`` HBM row-passes per expansion at active
-bucket ``B`` (project reads the basis, subtract reads it again; see
+The CGS Lanczos/Arnoldi step costs ``2B + 9`` HBM row-passes per expansion at
+active bucket ``B`` (project reads the basis, subtract reads it again; see
 ``tools/bench_expand_anatomy.py``).  The two basis streams are forced by a
 global dependency: the subtraction needs the *complete* projection
 coefficients.  But the coefficients of step ``k`` are already known when step
@@ -16,17 +16,29 @@ state can be restructured as ONE fused stream per step that simultaneously
 
 for ``B + 3`` row-passes: ``B`` basis reads + 1 read of ``y`` + 1 write of the
 new row + 1 write of ``y'``.  Step 3 is what makes the fusion close: it is
-only possible when ``A`` is *local* (a constant-coefficient stencil, offsets
-``|δ| ≤ 128``), so ``y'`` on a row-tile follows from ``w'`` on that tile plus
-a one-row halo, and the halo rows of ``w'`` are recomputed from boundary rows
-of ``V``/``y`` passed alongside (a few hundred KB per step).
+only possible when ``A`` is *local* (a constant-coefficient stencil), so
+``y'`` on a row-tile follows from ``w'`` on that tile plus an ``h``-row halo,
+and the halo rows of ``w'`` are recomputed from boundary rows of ``V``/``y``
+passed alongside (a few hundred KB per step).
+
+Two stencil families are supported, described by a static :class:`StencilSpec`
+(built by :func:`spec_for`):
+
+* flat CHAINS (:class:`~.operator.StencilOperator`): offsets on the row-major
+  flattening, neighbours flow across the 128-lane boundary (halo depth
+  ``h = ⌈max|δ|/128⌉``);
+* 2-D GRIDS (:class:`~.operator.GridStencilOperator`, e.g. the config-2
+  Poisson 1024²): ``(dy, dx)`` offsets with zero BC on both axes — ``dy``
+  reaches ``dy·grid_cols/128`` layout rows of halo and ``dx`` applies a
+  per-lane validity mask so ``±1`` never wraps across grid rows (the round-4
+  blocker for fusing GMRES/CG, benchmarks/RESULTS.md hot-spot #2).
 
 Scale bookkeeping (why ``γ_y``/``g`` suffice): stored basis rows are the raw
 residuals ``w'_j`` (NOT normalized — norms ``β_j`` are known scalars from the
 reductions), so normalization never costs a vector pass.  The driver carries
 the per-row scale vector ``s`` and folds it into contraction coefficients,
 the restart rotation (``diag(s)·U``) and extraction — all O(kmax) scalar
-math.  See ``factorizations/krylov.py:expand_fused_*``.
+math.  See ``factorizations/krylov.py:fused_expansions``.
 
 Reference being replaced: the reference's per-step
 ``matvec + orthogonalize!`` pair (``src/factorizations/lanczos.jl:295-376``
@@ -39,7 +51,7 @@ bf16 MXU passes drift over iterated orthogonalization — CLAUDE.md).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +60,8 @@ LANES = 128
 _HI = jax.lax.Precision.HIGHEST
 
 __all__ = [
+    "StencilSpec",
+    "spec_for",
     "fused_step",
     "stencil_apply_window",
     "supported_stencil",
@@ -57,74 +71,163 @@ __all__ = [
 ]
 
 
-def choose_tile(R: int, tile_rows: int = 256) -> int:
-    """The row-tile size ``fused_step`` will use for ``R`` rows."""
+class StencilSpec(NamedTuple):
+    """Static (hashable) kernel description of a fusable stencil.
+
+    ``taps[p] = (qrow, r, dx)``: source of tap ``p`` is window row
+    ``qrow`` (+1 for the lane-carry part when ``r != 0``) after a lane roll
+    by ``128 - r``; ``dx`` is the grid-column offset used for the per-lane
+    validity mask (only when ``gc > 0``).  ``h`` is the halo depth in layout
+    rows; ``mrow = gc // 128`` layout rows per grid row (0 for chains)."""
+
+    coeffs: Tuple[float, ...]
+    taps: Tuple[Tuple[int, int, int], ...]
+    h: int
+    mrow: int
+    gc: int  # grid columns; 0 = flat chain (no lane masking)
+    gr: int = 0  # grid rows (0 for chains) — eligibility needs n == gr·gc
+
+
+# eligibility cap: halo rows per side the kernel will carry.  The window is
+# (T + 2h, 128); h must stay well under the tile size for the boundary
+# caches to stay O(rows/T).  32 covers dy ∈ [-4, 4] at grid_cols = 1024.
+MAX_HALO = 32
+
+
+def _chain_spec(offsets, coeffs) -> Optional[StencilSpec]:
+    taps = []
+    h = 1
+    for d in offsets:
+        q, r = divmod(int(d), LANES)
+        taps.append((q, r, 0))
+        h = max(h, -q, q + (1 if r else 0))
+    if h > MAX_HALO:
+        return None
+    return StencilSpec(tuple(float(c) for c in coeffs), tuple(taps), h, 0, 0)
+
+
+def _grid_spec(grid, offsets2, coeffs) -> Optional[StencilSpec]:
+    gr, gc = grid
+    if gc % LANES != 0:
+        return None
+    mrow = gc // LANES
+    taps = []
+    h = 1
+    for dy, dx in offsets2:
+        if not (-LANES < dx < LANES):
+            return None
+        q, r = divmod(int(dx), LANES)
+        qrow = dy * mrow + q
+        taps.append((qrow, r, int(dx)))
+        h = max(h, -qrow, qrow + (1 if r else 0))
+    if h > MAX_HALO:
+        return None
+    return StencilSpec(
+        tuple(float(c) for c in coeffs), tuple(taps), h, mrow, gc, gr
+    )
+
+
+def spec_for(op) -> Optional[StencilSpec]:
+    """The fused-kernel spec for a supported operator, else ``None``.
+
+    Supported: real-coefficient :class:`~.operator.StencilOperator` (flat
+    chain, ``⌈max|δ|/128⌉ ≤ MAX_HALO``) and
+    :class:`~.operator.GridStencilOperator` (``grid_cols % 128 == 0``,
+    ``|dx| < 128``, halo ≤ MAX_HALO)."""
+    from .operator import GridStencilOperator, StencilOperator
+
+    if isinstance(op, GridStencilOperator):
+        if any(isinstance(c, complex) for c in op.coeffs):
+            return None
+        return _grid_spec(op.grid, op.offsets2, op.coeffs)
+    if isinstance(op, StencilOperator):
+        if any(isinstance(c, complex) for c in op.coeffs):
+            return None
+        return _chain_spec(op.offsets, op.coeffs)
+    return None
+
+
+def supported_stencil(offsets) -> bool:
+    """Back-compat probe: can a flat chain with these offsets fuse?"""
+    return _chain_spec(offsets, (0.0,) * len(offsets)) is not None
+
+
+def choose_tile(R: int, tile_rows: int = 256, h: int = 1) -> int:
+    """The row-tile size ``fused_step`` will use for ``R`` rows with halo
+    depth ``h`` (each tile's halo must fit inside one neighbour tile)."""
     T = tile_rows
     while T > 8 and (R % T != 0 or R // T < 2):
         T //= 2
     if R % T != 0 or R // T < 2:
         raise ValueError(f"R={R} rows do not tile (need R % T == 0, >= 2 tiles)")
+    if T < h:
+        raise ValueError(f"tile rows T={T} < halo depth h={h}")
     return T
 
 
-def boundary_cache(a, T: int):
+def boundary_cache(a, T: int, h: int = 1):
     """Halo planes of a stacked array: for each leading index and tile ``i``,
-    ``[..., i, 0] = row i·T − 1`` (zeros at i=0) and ``[..., i, 1] = row
-    (i+1)·T`` (zeros at the last tile) — zero halos ARE the Dirichlet
-    truncation of the stencil.  O(rows/T) data; built from a free reshape
-    plus one-row slices."""
+    ``[..., i, 0, :, :] = rows [i·T − h, i·T)`` (zeros past the start) and
+    ``[..., i, 1, :, :] = rows [(i+1)·T, (i+1)·T + h)`` (zeros past the end)
+    — zero halos ARE the Dirichlet truncation of the stencil.  O(h·rows/T)
+    data; built from a free reshape plus ``h``-row slices."""
     lead = a.shape[:-2]
     R, C = a.shape[-2:]
     nt = R // T
     a4 = a.reshape(lead + (nt, T, C))
-    last = a4[..., :, T - 1, :]
-    first = a4[..., :, 0, :]
-    z = jnp.zeros(lead + (1, C), a.dtype)
-    lo = jnp.concatenate([z, last[..., :-1, :]], axis=-2)
-    hi = jnp.concatenate([first[..., 1:, :], z], axis=-2)
-    return jnp.stack([lo, hi], axis=-2)  # lead + (nt, 2, C)
+    last = a4[..., :, T - h :, :]  # lead + (nt, h, C)
+    first = a4[..., :, :h, :]
+    z = jnp.zeros(lead + (1, h, C), a.dtype)
+    lo = jnp.concatenate([z, last[..., :-1, :, :]], axis=-3)
+    hi = jnp.concatenate([first[..., 1:, :, :], z], axis=-3)
+    return jnp.stack([lo, hi], axis=-3)  # lead + (nt, 2, h, C)
 
 
 def cache_from_tile_rows(wb):
-    """Convert a kernel boundary output ``wb[i] = (first_row_i, last_row_i)``
-    into the halo-plane layout of :func:`boundary_cache` for that vector."""
-    nt, _, C = wb.shape
-    z = jnp.zeros((1, C), wb.dtype)
-    lo = jnp.concatenate([z, wb[:-1, 1, :]], axis=0)  # row iT-1 = last of i-1
-    hi = jnp.concatenate([wb[1:, 0, :], z], axis=0)  # row (i+1)T = first of i+1
-    return jnp.stack([lo, hi], axis=1)  # (nt, 2, C)
+    """Convert a kernel boundary output ``wb[i] = (first h rows_i, last h
+    rows_i)`` (shape ``(nt, 2, h, C)``) into the halo-plane layout of
+    :func:`boundary_cache` for that vector."""
+    nt, _, h, C = wb.shape
+    z = jnp.zeros((1, h, C), wb.dtype)
+    lo = jnp.concatenate([z, wb[:-1, 1, :, :]], axis=0)  # last h of tile i-1
+    hi = jnp.concatenate([wb[1:, 0, :, :], z], axis=0)  # first h of tile i+1
+    return jnp.stack([lo, hi], axis=1)  # (nt, 2, h, C)
 
 
-def supported_stencil(offsets) -> bool:
-    """The fused kernel supports constant-coefficient offsets within one
-    lane-row of halo on each side (covers all nearest-neighbour chains and
-    bands up to half-width 128)."""
-    return all(-LANES <= d <= LANES for d in offsets)
-
-
-def stencil_apply_window(win, coeffs, offsets, T):
-    """Apply the constant-coefficient stencil to a ``(T + 2, 128)`` window
-    (one halo row each side); returns the ``(T, 128)`` interior result.
+def stencil_apply_window(win, spec: StencilSpec, T: int, tile_row0):
+    """Apply the stencil to a ``(T + 2h, 128)`` window (``h`` halo rows each
+    side); returns the ``(T, 128)`` interior result.
 
     Same (q, r) offset decomposition as ``pallas_spmv._spmv_kernel`` —
-    ``δ = 128·q + r``, lane-roll by ``128 − r`` + sublane row select — but
-    with scalar coefficients instead of streamed value planes (zero HBM
-    traffic for the matrix)."""
+    lane-roll by ``128 − r`` + sublane row select — but with scalar
+    coefficients instead of streamed value planes (zero HBM traffic for the
+    matrix).  For grid specs (``gc > 0``) each ``dx ≠ 0`` tap additionally
+    masks lanes whose grid column ``ix + dx`` falls outside ``[0, gc)`` —
+    the no-wrap-across-grid-rows semantics; ``tile_row0`` (= ``i·T``, traced)
+    locates the tile's rows in the grid."""
     from jax.experimental.pallas import tpu as pltpu
 
+    h = spec.h
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+    if spec.gc:
+        trow = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 0)
+        ix = ((tile_row0 + trow) % spec.mrow) * LANES + lane
     acc = jnp.zeros((T, LANES), jnp.float32)
-    QLO = 1
-    for coef, d in zip(coeffs, offsets):
-        q, r = divmod(int(d), LANES)
+    for coef, (qrow, r, dx) in zip(spec.coeffs, spec.taps):
         src = win if r == 0 else pltpu.roll(win, LANES - r, axis=1)
-        a = src[QLO + q : QLO + q + T, :]
+        a = src[h + qrow : h + qrow + T, :]
         if r == 0:
             sh = a
         else:
-            b = src[QLO + q + 1 : QLO + q + 1 + T, :]
+            b = src[h + qrow + 1 : h + qrow + 1 + T, :]
             sh = jnp.where(lane < LANES - r, a, b)
-        acc = acc + jnp.float32(coef) * sh.astype(jnp.float32)
+        sh = sh.astype(jnp.float32)
+        if spec.gc and dx:
+            valid = (
+                (ix + dx < spec.gc) if dx > 0 else (ix >= -dx)
+            )
+            sh = jnp.where(valid, sh, 0.0)
+        acc = acc + jnp.float32(coef) * sh
     return acc
 
 
@@ -132,24 +235,23 @@ def _fused_kernel(
     kp1_ref,  # scalar prefetch: [k + 1] — row index to write
     v_ref,  # (B, T, 128) basis rows 0..B-1, tile i
     y_ref,  # (T, 128) current y = A·(pending row), tile i
-    vb_ref,  # (B, 1, 2, 128) basis boundary rows (lo, hi) for tile i
-    yb_ref,  # (1, 2, 128) y boundary rows for tile i
+    vb_ref,  # (B, 1, 2, h, 128) basis halo rows (lo, hi) for tile i
+    yb_ref,  # (1, 2, h, 128) y halo rows for tile i
     g_ref,  # (1, 128): [0, :B] subtract coeffs g, [0, B] = γ_y
     w_out,  # (1, T, 128) → row k+1 of the (aliased) basis buffer
     ynext_out,  # (T, 128) y' = A w', tile i
     red_out,  # (1, 128) accumulated raw reductions (revisited block)
-    wb_out,  # (1, 2, 128) first/last rows of w' tile i (boundary cache feed)
-    ynb_out,  # (1, 2, 128) first/last rows of y' tile i
+    wb_out,  # (1, 2, h, 128) first/last h rows of w' tile i (cache feed)
+    ynb_out,  # (1, 2, h, 128) first/last h rows of y' tile i
     *,
     B: int,
     T: int,
-    coeffs: Tuple[float, ...],
-    offsets: Tuple[int, ...],
+    spec: StencilSpec,
 ):
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
-    nt = pl.num_programs(0)
+    h = spec.h
 
     g = g_ref[0, :B].astype(jnp.float32)  # (B,)
     gy = g_ref[0, B].astype(jnp.float32)
@@ -164,29 +266,25 @@ def _fused_kernel(
     Wt = W2.reshape(T, LANES)
 
     # 2. halo rows of w' from the boundary inputs (same linear combination)
-    vb = vb_ref[...].reshape(B, 2 * LANES)
-    yb = yb_ref[...].reshape(1, 2 * LANES)
+    vb = vb_ref[...].reshape(B, 2 * h * LANES)
+    yb = yb_ref[...].reshape(1, 2 * h * LANES)
     wb = gy * yb - jax.lax.dot_general(
         g.reshape(1, B), vb, (((1,), (0,)), ((), ())), precision=_HI
     )
-    wb = wb.reshape(2, LANES)
+    wb = wb.reshape(2 * h, LANES)
 
-    # 3. stencil on the (T+2, 128) window
-    win = jnp.concatenate([wb[0:1], Wt, wb[1:2]], axis=0)
-    yn = stencil_apply_window(win, coeffs, offsets, T)
+    # 3. stencil on the (T + 2h, 128) window
+    win = jnp.concatenate([wb[:h], Wt, wb[h:]], axis=0)
+    yn = stencil_apply_window(win, spec, T, i * T)
 
     # 4. outputs + raw reductions for the NEXT step
     w_out[0] = Wt.astype(w_out.dtype)
     ynext_out[...] = yn.astype(ynext_out.dtype)
-    # first/last rows of this tile, so the DRIVER can update the boundary
+    # first/last h rows of this tile, so the DRIVER can update the boundary
     # caches with O(nt) work instead of strided-slicing the 250 MB buffer
     # (XLA lowers that to per-row mini-DMAs costing more than the kernel)
-    wb_out[0] = jnp.concatenate([Wt[0:1], Wt[T - 1 : T]], axis=0).astype(
-        wb_out.dtype
-    )
-    ynb_out[0] = jnp.concatenate([yn[0:1], yn[T - 1 : T]], axis=0).astype(
-        ynb_out.dtype
-    )
+    wb_out[0] = jnp.stack([Wt[:h], Wt[T - h :]], axis=0).astype(wb_out.dtype)
+    ynb_out[0] = jnp.stack([yn[:h], yn[T - h :]], axis=0).astype(ynb_out.dtype)
 
     yn2 = yn.reshape(1, T * LANES)
     r_part = jax.lax.dot_general(
@@ -214,25 +312,24 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("B", "coeffs", "offsets", "tile_rows", "interpret"),
+    static_argnames=("B", "spec", "tile_rows", "interpret"),
 )
 def fused_step(
     V,  # (kmax, R, 128) f32 basis buffer (rows stored UNNORMALIZED, see module doc)
     y,  # (R, 128) f32: A·(pending row)
-    Vb,  # (kmax, nt, 2, 128) boundary cache: [j,i,0]=V[j,iT-1], [j,i,1]=V[j,(i+1)T]
-    yb,  # (nt, 2, 128) same for y
+    Vb,  # (kmax, nt, 2, h, 128) halo cache: [j,i,0]=rows [iT−h,iT), [j,i,1]=rows [(i+1)T,(i+1)T+h)
+    yb,  # (nt, 2, h, 128) same for y
     g,  # (kmax + 1,) f32: subtract coeffs [0:kmax] + γ_y at [kmax]
     kp1,  # int32: row index to write (k + 1)
     B: int,
-    coeffs: Tuple[float, ...],
-    offsets: Tuple[int, ...],
+    spec: StencilSpec,
     tile_rows: int = 256,
     interpret: bool = False,
 ):
     """One fused expansion step.  Returns ``(V_new, y_next, raw, wb, ynb)``:
     ``raw[:B] = <V[j], y'>``, ``raw[B] = <w', y'>``, ``raw[B+1] = |w'|^2``;
-    ``wb``/``ynb`` are the per-tile (first, last) rows of ``w'``/``y'`` from
-    which the caller updates the boundary caches in O(nt) work
+    ``wb``/``ynb`` are the per-tile (first h, last h) rows of ``w'``/``y'``
+    from which the caller updates the boundary caches in O(nt) work
     (:func:`boundary_cache`/:func:`cache_from_tile_rows`).
 
     ``V_new`` aliases ``V`` with row ``kp1`` overwritten by ``w'``; all other
@@ -250,38 +347,33 @@ def fused_step(
             f"{LANES}-lane row; krylovdim must satisfy kmax + 2 <= {LANES} "
             "(fused_available gates this — fall back to the unfused path)"
         )
-    T = tile_rows
-    while T > 8 and (R % T != 0 or R // T < 2):
-        T //= 2
-    if R % T != 0 or R // T < 2:
-        raise ValueError(f"R={R} rows do not tile (need R % T == 0, >= 2 tiles)")
+    h = spec.h
+    T = choose_tile(R, tile_rows, h)
     nt = R // T
 
-    assert Vb.shape == (kmax, nt, 2, C), (Vb.shape, (kmax, nt, 2, C))
-    assert yb.shape == (nt, 2, C)
+    assert Vb.shape == (kmax, nt, 2, h, C), (Vb.shape, (kmax, nt, 2, h, C))
+    assert yb.shape == (nt, 2, h, C)
     gbuf = jnp.zeros((1, LANES), jnp.float32)
     gbuf = gbuf.at[0, :B].set(g[:B].astype(jnp.float32))
     gbuf = gbuf.at[0, B].set(g[kmax].astype(jnp.float32))
 
-    kern = functools.partial(
-        _fused_kernel, B=B, T=T, coeffs=coeffs, offsets=offsets
-    )
+    kern = functools.partial(_fused_kernel, B=B, T=T, spec=spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((B, T, C), lambda i, kp1: (0, i, 0)),
             pl.BlockSpec((T, C), lambda i, kp1: (i, 0)),
-            pl.BlockSpec((B, 1, 2, C), lambda i, kp1: (0, i, 0, 0)),
-            pl.BlockSpec((1, 2, C), lambda i, kp1: (i, 0, 0)),
+            pl.BlockSpec((B, 1, 2, h, C), lambda i, kp1: (0, i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, h, C), lambda i, kp1: (i, 0, 0, 0)),
             pl.BlockSpec((1, LANES), lambda i, kp1: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, T, C), lambda i, kp1: (kp1[0], i, 0)),
             pl.BlockSpec((T, C), lambda i, kp1: (i, 0)),
             pl.BlockSpec((1, LANES), lambda i, kp1: (0, 0)),
-            pl.BlockSpec((1, 2, C), lambda i, kp1: (i, 0, 0)),
-            pl.BlockSpec((1, 2, C), lambda i, kp1: (i, 0, 0)),
+            pl.BlockSpec((1, 2, h, C), lambda i, kp1: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, h, C), lambda i, kp1: (i, 0, 0, 0)),
         ],
     )
     kwargs = {}
@@ -299,8 +391,8 @@ def fused_step(
             jax.ShapeDtypeStruct(V.shape, V.dtype),
             jax.ShapeDtypeStruct(y.shape, y.dtype),
             jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 2, C), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 2, C), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 2, h, C), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 2, h, C), jnp.float32),
         ],
         input_output_aliases={1: 0},  # V (first non-prefetch arg) → Vnew
         interpret=interpret,

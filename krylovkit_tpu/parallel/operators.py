@@ -66,19 +66,21 @@ def laplacian_1d(n: int, dtype=jnp.float32, dirichlet: bool = True) -> LinearOpe
 
 
 def poisson_2d(nx: int, ny: int, dtype=jnp.float32) -> LinearOperator:
-    """5-point stencil 2D Poisson operator on an ``(nx, ny)`` grid, acting on
-    vectors of shape ``(nx, ny)`` (BASELINE.json config 2).  SPD."""
+    """5-point stencil 2D Poisson operator on an ``(nx, ny)`` grid
+    (BASELINE.json config 2).  SPD, zero (Dirichlet) boundaries.
 
-    def apply(x):
-        ix = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
-        iy = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-        xl = jnp.where(ix == 0, 0, jnp.roll(x, 1, axis=-2))
-        xr = jnp.where(ix == nx - 1, 0, jnp.roll(x, -1, axis=-2))
-        xu = jnp.where(iy == 0, 0, jnp.roll(x, 1, axis=-1))
-        xd = jnp.where(iy == ny - 1, 0, jnp.roll(x, -1, axis=-1))
-        return 4 * x - xl - xr - xu - xd
+    Returns a :class:`~..ops.operator.GridStencilOperator` — the grid is
+    static metadata, so with ``(n/128, 128)``-shaped vectors the Krylov
+    drivers run the fused one-stream expansion kernel (multi-row halos + grid
+    masks, ``ops/pallas_fused_lanczos.py``).  Vectors shaped ``(nx, ny)``
+    also work (any row-major layout with ``ny % cols == 0``)."""
+    from ..ops.operator import GridStencilOperator
 
-    return LinearOperator(apply, apply)
+    return GridStencilOperator(
+        (nx, ny),
+        ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)),
+        (4.0, -1.0, -1.0, -1.0, -1.0),
+    )
 
 
 def sharded_laplacian_1d(

@@ -20,6 +20,7 @@ from krylovkit_tpu.ops.pallas_fused_lanczos import (
     boundary_cache,
     choose_tile,
     fused_step,
+    spec_for,
     supported_stencil,
 )
 from krylovkit_tpu.ops.pallas_fused_lanczos import cache_from_tile_rows as pf_cache
@@ -63,9 +64,10 @@ def test_fused_step_matches_reference(B, kp1):
     y = jnp.asarray(rng.standard_normal((R, 128)).astype("float32"))
     g = jnp.asarray(rng.standard_normal(kmax + 1).astype("float32"))
     T = choose_tile(R, 8)
+    spec = spec_for(StencilOperator(OFFSETS, COEFFS))
     Vn, yn, raw, wb, ynb = fused_step(
         V, y, boundary_cache(V, T), boundary_cache(y, T), g, jnp.int32(kp1),
-        B, COEFFS, OFFSETS, tile_rows=8, interpret=True,
+        B, spec, tile_rows=8, interpret=True,
     )
     Vr, ynr, r, rp, q = _ref_step(V, y, g, kp1, B)
     sc = float(jnp.max(jnp.abs(ynr)))
@@ -165,7 +167,9 @@ def test_fused_gate():
         laplacian_1d(n, jnp.float32, dirichlet=False), x0_good, STANDARD
     )
     assert supported_stencil((-128, 0, 128))
-    assert not supported_stencil((-200, 0))
+    # round-5 widening: multi-row halos admit |δ| > 128 up to MAX_HALO rows
+    assert supported_stencil((-200, 0, 200))
+    assert not supported_stencil((-33 * 128, 0))
 
 
 def test_stencil_operator_apply_matches_dense():
@@ -346,3 +350,127 @@ def test_stencil_operator_ndim3_leaf_flattening():
     want = np.asarray(op.normal(jnp.asarray(x)))
     got = np.asarray(op.normal(jnp.asarray(x.reshape(2, 4, 128)))).reshape(n)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 2-D grid stencils (round 5): GridStencilOperator + multi-row-halo kernel
+# ---------------------------------------------------------------------------
+
+from krylovkit_tpu.ops.operator import GridStencilOperator
+
+POISSON_OFF = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+POISSON_CF = (4.0, -1.0, -1.0, -1.0, -1.0)
+
+
+def _grid_dense(gr, gc, offsets2, coeffs):
+    n = gr * gc
+    A = np.zeros((n, n), np.float32)
+    for c, (dy, dx) in zip(coeffs, offsets2):
+        for iy in range(gr):
+            for ix in range(gc):
+                jy, jx = iy + dy, ix + dx
+                if 0 <= jy < gr and 0 <= jx < gc:
+                    A[iy * gc + ix, jy * gc + jx] = c
+    return A
+
+
+@pytest.mark.parametrize("shape", ["grid", "rc", "flat"])
+def test_grid_stencil_apply_matches_dense(shape):
+    gr, gc = 6, 256  # mrow = 2
+    op = GridStencilOperator((gr, gc), POISSON_OFF, POISSON_CF)
+    A = _grid_dense(gr, gc, POISSON_OFF, POISSON_CF)
+    x = np.random.default_rng(21).standard_normal(gr * gc).astype(np.float32)
+    want = A @ x
+    if shape == "grid":
+        arg = jnp.asarray(x.reshape(gr, gc))
+    elif shape == "rc":
+        arg = jnp.asarray(x.reshape(gr * 2, 128))
+    else:
+        arg = jnp.asarray(x)
+    got = np.asarray(op.normal(arg)).reshape(-1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    want_t = A.T @ x
+    got_t = np.asarray(op.adjoint(arg)).reshape(-1)
+    np.testing.assert_allclose(got_t, want_t, atol=1e-5)
+
+
+def test_grid_stencil_asymmetric_offsets():
+    # exercise dy = ±2, dx = ±3 with distinct coefficients (non-symmetric)
+    gr, gc = 8, 128
+    off = ((0, 0), (-2, 3), (1, -3), (2, 1))
+    cf = (1.5, -0.3, 0.7, 0.2)
+    op = GridStencilOperator((gr, gc), off, cf)
+    A = _grid_dense(gr, gc, off, cf)
+    x = np.random.default_rng(22).standard_normal(gr * gc).astype(np.float32)
+    got = np.asarray(op.normal(jnp.asarray(x.reshape(gr, 128)))).reshape(-1)
+    np.testing.assert_allclose(got, A @ x, atol=1e-5)
+    got_t = np.asarray(op.adjoint(jnp.asarray(x.reshape(gr, 128)))).reshape(-1)
+    np.testing.assert_allclose(got_t, A.T @ x, atol=1e-5)
+
+
+def test_fused_step_grid_matches_xla():
+    # kernel-level: the in-kernel grid apply (multi-row halo + lane masks)
+    # must match the XLA GridStencilOperator apply on the fused residual
+    gr, gc = 32, 256  # mrow = 2, R = 64 layout rows
+    op = GridStencilOperator((gr, gc), POISSON_OFF, POISSON_CF)
+    from krylovkit_tpu.ops import pallas_fused_lanczos as pf
+
+    spec = pf.spec_for(op)
+    assert spec is not None and spec.h == 2 and spec.mrow == 2
+    rng = np.random.default_rng(23)
+    kmax, R = 13, gr * gc // 128
+    V = jnp.asarray(rng.standard_normal((kmax, R, 128)).astype("float32"))
+    y = jnp.asarray(rng.standard_normal((R, 128)).astype("float32"))
+    g = jnp.asarray(rng.standard_normal(kmax + 1).astype("float32"))
+    B, kp1 = 8, 9
+    T = pf.choose_tile(R, 16, spec.h)
+    Vn, yn, raw, wb, ynb = pf.fused_step(
+        V, y, pf.boundary_cache(V, T, spec.h), pf.boundary_cache(y, T, spec.h),
+        g, jnp.int32(kp1), B, spec, tile_rows=16, interpret=True,
+    )
+    W = g[kmax] * y - jnp.einsum("j,jrc->rc", g[:B], V[:B])
+    ynr = op.normal(W)
+    sc = float(jnp.max(jnp.abs(ynr)))
+    np.testing.assert_allclose(np.asarray(yn), np.asarray(ynr), atol=2e-4 * sc)
+    np.testing.assert_allclose(
+        np.asarray(Vn[kp1]), np.asarray(W), atol=2e-4 * sc
+    )
+    r = jnp.einsum("jrc,rc->j", V[:B], ynr)
+    mask = np.arange(B) != kp1
+    np.testing.assert_allclose(
+        np.asarray(raw[:B])[mask], np.asarray(r)[mask], rtol=2e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(float(raw[B]), float(jnp.sum(W * ynr)), rtol=2e-4)
+    np.testing.assert_allclose(float(raw[B + 1]), float(jnp.sum(W * W)), rtol=2e-4)
+    # boundary feeds
+    np.testing.assert_allclose(
+        np.asarray(pf.cache_from_tile_rows(wb)),
+        np.asarray(pf.boundary_cache(W, T, spec.h)),
+        atol=2e-4 * sc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pf.cache_from_tile_rows(ynb)),
+        np.asarray(pf.boundary_cache(ynr, T, spec.h)),
+        atol=2e-4 * sc,
+    )
+
+
+def test_fused_driver_grid_matches_unfused():
+    # end-to-end: Lanczos eigsolve on a small 2-D Poisson grid, fused vs
+    # unfused (the config-2 operator class)
+    gr, gc = 32, 128
+    op = GridStencilOperator((gr, gc), POISSON_OFF, POISSON_CF)
+    x0 = jnp.asarray(
+        np.random.default_rng(24).standard_normal((gr, 128)), jnp.float32
+    )
+    assert kf.fused_available(op, x0, STANDARD, kmax=19)
+    alg = kk.Lanczos(krylovdim=18, maxiter=4, tol=1e-6, orth=kk.cgs)
+    v0, e0, i0 = _solve(op, x0, alg, fused=False)
+    v1, e1, i1 = _solve(op, x0, alg, fused=True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=2e-4)
+    assert int(i0.numops) == int(i1.numops)
+    assert int(i0.numiter) == int(i1.numiter)
+    for a, b in zip(e0, e1):
+        np.testing.assert_allclose(
+            float(jnp.abs(jnp.vdot(a, b))), 1.0, rtol=1e-3
+        )

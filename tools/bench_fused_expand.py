@@ -25,12 +25,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from krylovkit_tpu.ops.operator import StencilOperator
 from krylovkit_tpu.ops.pallas_fused_lanczos import (
-    boundary_cache, choose_tile, fused_step,
+    boundary_cache, choose_tile, fused_step, spec_for,
 )
 
 COEFFS = (-1.0, 2.0, -1.0)
 OFFSETS = (-1, 0, 1)
+SPEC = spec_for(StencilOperator(OFFSETS, COEFFS))
 
 
 def ref_step(V, y, g, kp1, B, coeffs, offsets):
@@ -65,7 +67,7 @@ def check(n, B, kp1, seed=0):
     T = choose_tile(R, max(8, R // 4))
     Vn, yn, raw, wb, ynb = fused_step(
         V, y, boundary_cache(V, T), boundary_cache(y, T), g, jnp.int32(kp1),
-        B, COEFFS, OFFSETS, tile_rows=max(8, R // 4), interpret=interpret,
+        B, SPEC, tile_rows=max(8, R // 4), interpret=interpret,
     )
     Vr, ynr, r, rp, q = ref_step(V, y, g, kp1, B, COEFFS, OFFSETS)
 
@@ -130,11 +132,12 @@ def bench(n, B, kp1, tile_rows=256):
                 V, y, Vb, yb = carry
                 V, y, raw, wb, ynb = fused_step(
                     V, y, Vb, yb, g * (1 + 1e-9 * i), jnp.int32(kp1), B,
-                    COEFFS, OFFSETS, tile_rows=tile_rows,
+                    SPEC, tile_rows=tile_rows,
                 )
                 Vb = jax.lax.dynamic_update_slice(
                     Vb, cache_from_tile_rows(wb)[None],
-                    (jnp.int32(kp1), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                    (jnp.int32(kp1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                     jnp.int32(0)),
                 )
                 yb = cache_from_tile_rows(ynb)
                 # renormalize y so the loop neither explodes nor denormals
