@@ -14,7 +14,16 @@ TPU-first deviations from the reference:
   basis vectors (``src/linsolve/gmres.jl:110-118``): same mathematics
   (``β e₁ − H̄ y = Gᴴ (ỹ − R̄ y)``), one pass over HBM instead of 2k;
 * the true residual is recomputed when the reconstructed one converges
-  (``src/linsolve/gmres.jl:120-124``), and the outer loop resumes on drift.
+  (``src/linsolve/gmres.jl:120-124``), and the outer loop resumes on drift;
+* for fusable stencil operators (real f32 ``StencilOperator`` /
+  ``GridStencilOperator`` with ``(R, 128)`` vectors under plain CGS) the
+  Arnoldi expansion runs the ONE-STREAM fused kernel
+  (``ops/pallas_fused_lanczos.py``): subtract + append + operator apply +
+  next-step projections in ``B + 3`` HBM row-passes instead of ``2B + 9``,
+  with the Givens QR carried through the fused loop so per-column convergence
+  stopping is preserved.  Note the Krylov space of ``a0 + a1·A`` equals that
+  of ``A``, so the kernel streams the RAW stencil and the shift enters only
+  the small-matrix column (same as the unfused path).
 """
 
 from __future__ import annotations
@@ -47,6 +56,44 @@ class _Outer(NamedTuple):
     done: jax.Array
 
 
+def _rot2(v, i, j, gc, gs):
+    """Apply the Givens rotation (gc, gs) to entries (i, j) of a vector."""
+    vi = jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+    vj = jax.lax.dynamic_index_in_dim(v, j, 0, keepdims=False)
+    v = v.at[i].set(gc * vi + jnp.conj(gs) * vj)
+    return v.at[j].set(-gs * vi + gc * vj)
+
+
+def _qr_update(G, R, y, col, k, cdt):
+    """One incremental-QR column update: rotate ``col`` (the shifted H column
+    ``k``) by the accumulated rotations ``G``, compute and apply the new
+    Givens pair zeroing entry ``k+1``, update (G, R, y).  Shared by the
+    unfused and fused cycles (reference ``src/linsolve/gmres.jl:72-99``)."""
+    col = G @ col  # apply all previous rotations: one GEMV
+    ck = jax.lax.dynamic_index_in_dim(col, k, 0, keepdims=False)
+    ck1 = jax.lax.dynamic_index_in_dim(col, k + 1, 0, keepdims=False)
+    gc, gs, grr = givens(ck, ck1)
+    col = col.at[k].set(grr).at[k + 1].set(0)
+    y = _rot2(y, k, k + 1, gc, gs)
+    m1 = G.shape[0]
+    rowk = jax.lax.dynamic_slice(
+        G, (jnp.asarray(k, jnp.int32), jnp.int32(0)), (2, m1)
+    )
+    Grot = jnp.stack(
+        [
+            gc * rowk[0] + jnp.conj(gs) * rowk[1],
+            -gs * rowk[0] + gc * rowk[1],
+        ]
+    )
+    G = jax.lax.dynamic_update_slice(
+        G, Grot, (jnp.asarray(k, jnp.int32), jnp.int32(0))
+    )
+    R = jax.lax.dynamic_update_slice(
+        R, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
+    )
+    return G, R, y
+
+
 def linsolve_gmres(
     op: LinearOperator,
     b: PyTree,
@@ -73,6 +120,16 @@ def linsolve_gmres(
     )
     normr0 = space.norm(r0)
 
+    # one-stream fused Arnoldi expansion (ops/pallas_fused_lanczos.py) with
+    # the Givens QR carried through the fused loop
+    from ..ops import orthonormal as on
+
+    fused = (
+        type(alg.orth) is on.ClassicalGramSchmidt
+        and cdt == jnp.float32
+        and kf.fused_available(op, b, space, kmax=m + 1)
+    )
+
     class _Cycle(NamedTuple):
         fact: kf.KrylovState
         G: jax.Array  # accumulated rotations, (m+1, m+1)
@@ -97,58 +154,175 @@ def linsolve_gmres(
         ]
         ek = jax.nn.one_hot(k, m + 1, dtype=cdt)
         col = a1c * h.astype(cdt) + a0c * ek
-        col = c.G @ col  # apply all previous rotations: one GEMV
-        ck = jax.lax.dynamic_index_in_dim(col, k, 0, keepdims=False)
-        ck1 = jax.lax.dynamic_index_in_dim(col, k + 1, 0, keepdims=False)
-        gc, gs, grr = givens(ck, ck1)
-        # rotate col, rhs y, and accumulate into G (rows k, k+1)
-        def rot2(v, i, j):
-            vi = jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
-            vj = jax.lax.dynamic_index_in_dim(v, j, 0, keepdims=False)
-            v = v.at[i].set(gc * vi + jnp.conj(gs) * vj)
-            return v.at[j].set(-gs * vi + gc * vj)
-
-        col = col.at[k].set(grr).at[k + 1].set(0)
-        y = rot2(c.y, k, k + 1)
-        rowk = jax.lax.dynamic_slice(
-            c.G, (jnp.asarray(k, jnp.int32), jnp.int32(0)), (2, m + 1)
-        )
-        Grot = jnp.stack(
-            [
-                gc * rowk[0] + jnp.conj(gs) * rowk[1],
-                -gs * rowk[0] + gc * rowk[1],
-            ]
-        )
-        G = jax.lax.dynamic_update_slice(
-            c.G, Grot, (jnp.asarray(k, jnp.int32), jnp.int32(0))
-        )
-        R = jax.lax.dynamic_update_slice(
-            c.R, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
-        )
+        G, R, y = _qr_update(c.G, c.R, c.y, col, k, cdt)
         return _Cycle(fact, G, R, y, c.numops + 1)
 
-    def outer_body(st: _Outer) -> _Outer:
-        fact = kf.initialize(st.r, m, cdt, space, vec_dtype=cdt)
+    def run_cycle_unfused(r, normr, numops):
+        fact = kf.initialize(r, m, cdt, space, vec_dtype=cdt)
         c0 = _Cycle(
             fact=fact,
             G=jnp.eye(m + 1, dtype=cdt),
             R=jnp.zeros((m + 1, m + 1), cdt),
-            y=(st.normr.astype(cdt)) * jax.nn.one_hot(0, m + 1, dtype=cdt),
-            numops=st.numops,
+            y=(normr.astype(cdt)) * jax.nn.one_hot(0, m + 1, dtype=cdt),
+            numops=numops,
         )
         c = jax.lax.while_loop(cycle_cond, cycle_body, c0)
-        k = c.fact.k
+        ones = jnp.ones((m + 1,), jnp.float32)
+        return c.fact.V, ones, c.G, c.R, c.y, c.fact.k, c.numops
+
+    def run_cycle_fused(r, normr, numops):
+        """Fused Arnoldi cycle: basis rows stored UNNORMALIZED with scale
+        vector ``s`` (see ``factorizations/krylov.py:fused_expansions`` — the
+        math here mirrors its Arnoldi mode, with the incremental QR replacing
+        the H-buffer as the column consumer).  One extra operator application
+        may occur on early convergence (the kernel computes ``A·row_{k+1}``
+        while column ``k`` is being judged) — counted honestly in numops."""
+        from ..ops import pallas_fused_lanczos as pf
+
+        spec = pf.spec_for(op)
+        kmax = m + 1
+        idx = jnp.arange(kmax)
+        buckets = bs.buckets_for(kmax)
+        btol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
+
+        fact = kf.initialize(r, m, cdt, space, vec_dtype=cdt)
+        V = fact.V
+        treedef = jax.tree_util.tree_structure(V)
+
+        def leaf_of(t):
+            return jax.tree_util.tree_leaves(t)[0]
+
+        # prime: y = A v0, raw projections
+        v0 = bs.get(V, jnp.int32(0))
+        yv = op.normal(v0)
+        yl = leaf_of(yv)
+        Vl = leaf_of(V)
+        rproj = bs.project_bucketed(V, yv, jnp.int32(1), space).astype(
+            jnp.float32
+        )
+        rp = rproj[0]
+        q = jnp.ones((), jnp.float32)
+        T = pf.choose_tile(Vl.shape[1], h=spec.h)
+        Vbc = pf.boundary_cache(Vl, T, spec.h)
+        ybc = pf.boundary_cache(yl, T, spec.h)
+
+        s = jnp.ones((kmax,), jnp.float32)
+        G0 = jnp.eye(m + 1, dtype=cdt)
+        R0 = jnp.zeros((m + 1, m + 1), cdt)
+        yt0 = (normr.astype(cdt)) * jax.nn.one_hot(0, m + 1, dtype=cdt)
+
+        def subtract_coeffs(rv, rp, q, s, k):
+            b_ = jnp.sqrt(q)
+            rfull = jnp.where(idx == k, rp, rv)
+            return jnp.where(idx <= k, s * s * rfull / b_, 0.0), rfull, b_
+
+        def hcol_of(rfull, s, b_, k, beta_k):
+            # full projection column in NORMALIZED units + β at k+1
+            c_ = jnp.where(idx <= k, s * rfull / b_, 0.0).astype(cdt)
+            return c_ + beta_k.astype(cdt) * jax.nn.one_hot(
+                k + 1, kmax, dtype=cdt
+            )
+
+        def cond(c):
+            Vl, yl, Vbc, ybc, rv, rp, q, s, k, G, R, yt, numops = c
+            resk = jnp.abs(
+                jax.lax.dynamic_index_in_dim(yt, k, 0, keepdims=False)
+            )
+            return jnp.logical_and(
+                k < m - 1,
+                jnp.logical_and(resk > tol, jnp.sqrt(q) > btol),
+            )
+
+        def body(c):
+            Vl, yl, Vbc, ybc, rv, rp, q, s, k, G, R, yt, numops = c
+            gsub, rfull, b_ = subtract_coeffs(rv, rp, q, s, k)
+            gfull = jnp.concatenate([gsub, (1.0 / b_)[None]])
+
+            def make_branch(B):
+                def br(Vl, yl, Vbc, ybc, gfull):
+                    Vn, yn, raw, wb, ynb = pf.fused_step(
+                        Vl, yl, Vbc, ybc, gfull,
+                        jnp.asarray(k + 1, jnp.int32),
+                        B, spec, interpret=kf.fused_interpret,
+                    )
+                    rnew = jnp.pad(raw[:B], (0, kmax - B))
+                    return Vn, yn, rnew, raw[B], raw[B + 1], wb, ynb
+
+                return br
+
+            iB = bs.bucket_index(k + 1, buckets)
+            Vn, yn, rnew, rpn, qn, wb, ynb = jax.lax.switch(
+                iB, [make_branch(B) for B in buckets], Vl, yl, Vbc, ybc, gfull
+            )
+            Vbc = jax.lax.dynamic_update_slice(
+                Vbc, pf.cache_from_tile_rows(wb)[None],
+                (jnp.asarray(k + 1, jnp.int32), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0)),
+            )
+            ybc = pf.cache_from_tile_rows(ynb)
+            beta_k = jnp.sqrt(qn)
+            col = a1c * hcol_of(rfull, s, b_, k, beta_k) + a0c * jax.nn.one_hot(
+                k, kmax, dtype=cdt
+            )
+            G, R, yt = _qr_update(G, R, yt, col, k, cdt)
+            s = jnp.where(idx == k + 1, kf._safe_inv(beta_k), s)
+            return (
+                Vn, yn, Vbc, ybc, rnew, rpn, qn, s, k + 1, G, R, yt,
+                numops + 1,
+            )
+
+        (
+            Vl, yl, Vbc, ybc, rv, rp, q, s, k, G, R, yt, numops
+        ) = jax.lax.while_loop(
+            cond, body,
+            (Vl, yl, Vbc, ybc, rproj, rp, q, s, jnp.int32(0), G0, R0, yt0,
+             numops + 1),  # +1: the priming apply
+        )
+
+        # tail column m-1: no (wasted) next apply — masked bucketed subtract
+        resk = jnp.abs(jax.lax.dynamic_index_in_dim(yt, k, 0, keepdims=False))
+        go = (k == m - 1) & (resk > tol) & (jnp.sqrt(q) > btol)
+        gsub, rfull, b_ = subtract_coeffs(rv, rp, q, s, k)
+        Vtree = jax.tree_util.tree_unflatten(treedef, [Vl])
+        Wl = (1.0 / b_) * yl - leaf_of(
+            bs.unproject_bucketed(Vtree, gsub, k + 1)
+        )
+        qn = jnp.sum(Wl * Wl)
+        beta_m = jnp.sqrt(qn)
+        old_row = jax.lax.dynamic_index_in_dim(Vl, k + 1, 0, keepdims=False)
+        Vl = jax.lax.dynamic_update_index_in_dim(
+            Vl, jnp.where(go, Wl, old_row), k + 1, 0
+        )
+        col = a1c * hcol_of(rfull, s, b_, k, beta_m) + a0c * jax.nn.one_hot(
+            k, kmax, dtype=cdt
+        )
+        Gt, Rt, ytt = _qr_update(G, R, yt, col, k, cdt)
+        G = jnp.where(go, Gt, G)
+        R = jnp.where(go, Rt, R)
+        yt = jnp.where(go, ytt, yt)
+        s = jnp.where(go & (idx == k + 1), kf._safe_inv(beta_m), s)
+        k = k + go.astype(jnp.int32)
+        return (
+            jax.tree_util.tree_unflatten(treedef, [Vl]), s, G, R, yt, k,
+            numops,
+        )
+
+    run_cycle = run_cycle_fused if fused else run_cycle_unfused
+
+    def outer_body(st: _Outer) -> _Outer:
+        V, s, G, R, yv, k, numops = run_cycle(st.r, st.normr, st.numops)
         # triangular solve on active k×k block
-        coeff = solve_upper_active(c.R[:m, :m], c.y[:m], k)
+        coeff = solve_upper_active(R[:m, :m], yv[:m], k)
         coeff = jnp.concatenate([coeff, jnp.zeros((1,), cdt)])
-        x = add(st.x, bs.unproject(c.fact.V, coeff))
+        # fused cycles store rows unnormalized: fold the scales into every
+        # basis consumption (identity when s == 1)
+        x = add(st.x, bs.unproject(V, s.astype(cdt) * coeff))
         # residual reconstruction: r = V · (Gᴴ e_k · ỹ_k)
-        yk = jax.lax.dynamic_index_in_dim(c.y, k, 0, keepdims=False)
-        rc = jnp.conj(c.G.T) @ (yk * jax.nn.one_hot(k, m + 1, dtype=cdt))
-        r = bs.unproject(c.fact.V, rc)
+        yk = jax.lax.dynamic_index_in_dim(yv, k, 0, keepdims=False)
+        rc = jnp.conj(G.T) @ (yk * jax.nn.one_hot(k, m + 1, dtype=cdt))
+        r = bs.unproject(V, s.astype(cdt) * rc)
         normr = jnp.abs(yk)
         numiter = st.numiter + 1
-        numops = c.numops
 
         # true-residual verification on apparent convergence
         def verify(args):

@@ -474,3 +474,56 @@ def test_fused_driver_grid_matches_unfused():
         np.testing.assert_allclose(
             float(jnp.abs(jnp.vdot(a, b))), 1.0, rtol=1e-3
         )
+
+
+def _gmres_solve(op, b, alg, fused, a0=0.0):
+    old = kf.use_fused_expansion
+    kf.use_fused_expansion = fused
+    try:
+        return jax.jit(
+            lambda bb: kk.linsolve(op, bb, a0=a0, alg=alg)
+        )(b)
+    finally:
+        kf.use_fused_expansion = old
+
+
+@pytest.mark.parametrize("orth_name", ["cgs"])
+def test_fused_gmres_grid_matches_unfused(orth_name):
+    # fused Arnoldi cycle with in-loop Givens QR on the config-2 operator
+    # class (2-D Poisson, shifted for f32 conditioning)
+    gr, gc = 32, 128
+    op = GridStencilOperator((gr, gc), POISSON_OFF, POISSON_CF)
+    b = jnp.asarray(
+        np.random.default_rng(31).standard_normal((gr, 128)), jnp.float32
+    )
+    orth = getattr(kk, orth_name)
+    alg = kk.GMRES(krylovdim=20, maxiter=40, tol=1e-4, orth=orth)
+    x0, i0 = _gmres_solve(op, b, alg, fused=False, a0=0.5)
+    x1, i1 = _gmres_solve(op, b, alg, fused=True, a0=0.5)
+    assert int(i0.converged) == 1 and int(i1.converged) == 1
+    # both solve the same system: compare against each other and the truth
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=5e-3,
+                               atol=5e-5)
+    r1 = b - (0.5 * x1 + op.normal(x1))
+    assert float(jnp.linalg.norm(r1)) <= 1.2e-4
+    assert int(i0.numiter) == int(i1.numiter)
+
+
+def test_fused_gmres_chain_full_budget_numops():
+    # fixed-budget run (tol unreachable): fused and unfused must perform the
+    # SAME number of operator applications per full cycle
+    n = 1 << 12
+    op = StencilOperator((-1, 0, 1), (-1.0, 2.0, -1.0))
+    b = jnp.asarray(
+        np.random.default_rng(32).standard_normal((n // 128, 128)), jnp.float32
+    )
+    alg = kk.GMRES(krylovdim=12, maxiter=3, tol=1e-30, orth=kk.cgs)
+    x0, i0 = _gmres_solve(op, b, alg, fused=False)
+    x1, i1 = _gmres_solve(op, b, alg, fused=True)
+    assert int(i0.numops) == int(i1.numops)
+    assert int(i0.numiter) == int(i1.numiter) == 3
+    np.testing.assert_allclose(
+        float(i1.normres), float(i0.normres), rtol=1e-2
+    )
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-2,
+                               atol=1e-4)
