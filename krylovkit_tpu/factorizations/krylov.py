@@ -471,18 +471,244 @@ def _safe_inv(x):
     return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 1.0)
 
 
-def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
-                     verbosity=0, hermitian: bool = True,
-                     min_one: bool = False):
+class FusedScales(NamedTuple):
+    """Scalar-space basis bookkeeping of the fused expansion modes.
+
+    Stored basis rows ``R_j`` are raw residuals (unnormalized); the TRUE
+    orthonormal basis is ``v_j = Σ_i L[i,j] R_i`` with ``L`` upper-triangular.
+    Every basis consumption (restart rotation, extraction, unprojection) folds
+    ``L`` — one small matmul; for the plain-cgs mode ``L = diag(s)`` exactly.
+
+    * ``L``  — (kmax, kmax) basis coefficient matrix;
+    * ``s``  — (kmax,) inverse stored-row norms ``1/‖R_j‖``;
+    * ``Hs`` — (kmax, kmax) stored-row images ``A R_i = Σ_j Hs[j,i] R_j``
+      (dgks mode only — lets the deferred correction express ``A v_k`` in
+      stored rows without extra vector passes);
+    * ``M``  — (kmax, kmax) stored-row Gram ``<R_i, R_j>`` accumulated from
+      the kernel's drift reductions (dgks mode only).
+    """
+
+    L: jax.Array
+    s: jax.Array
+    Hs: jax.Array
+    M: jax.Array
+
+
+def fused_scales_init(kmax: int, H=None) -> FusedScales:
+    """Identity bookkeeping (all rows normalized/orthonormal).  ``H`` seeds
+    the stored-row Hessenberg: after a thick restart the surviving rows are
+    re-orthonormalized, so the arrowhead projected matrix IS the stored-row
+    relation ``A R_i = Σ_j H[j,i] R_j`` for the kept columns."""
+    eye = jnp.eye(kmax, dtype=jnp.float32)
+    Hs = jnp.zeros((kmax, kmax), jnp.float32) if H is None else jnp.real(
+        H
+    ).astype(jnp.float32)
+    return FusedScales(eye, jnp.ones((kmax,), jnp.float32), Hs, eye)
+
+
+def fold_scales(sc: FusedScales, coeffs: jax.Array) -> jax.Array:
+    """True-basis coefficient vector/matrix → stored-row coefficients:
+    ``V_true @ c = V_stored @ (L @ c)``."""
+    return (sc.L.astype(coeffs.dtype) @ coeffs).astype(coeffs.dtype)
+
+
+def _step_coeffs(r, d, rp, q, sc: FusedScales, k, dgks: bool):
+    """Scalar front-half of one fused step at top row ``k``: clean the
+    measured reductions, apply the deferred DGKS correction of row ``k``
+    (dgks mode), and build the subtraction coefficients.
+
+    Math (see ops/pallas_fused_lanczos.py module doc): with the true basis
+    ``v_j = Σ_i L[i,j] R_i`` and ``y = A R_k`` in hand,
+
+        A v_k = λ·y + Σ_i u_i R_i,      λ = L[k,k],  u = Hs · (L[:,k]·1_{i<k})
+        h_j   = <v_j, A v_k> = λ (Lᵀ r)_j + (Lᵀ M u)_j          (exact)
+        w_{k+1} = A v_k − Σ_j h_j v_j = λ·y − Σ_i (L h − u)_i R_i
+
+    The deferred correction (dgks): the kernel measured ``d_i = <R_i, R_k>``
+    one step ago; the DGKS second-sweep coefficients of row ``k`` are
+    ``c2_j = <v_j, R̂_k> = s_k (Lᵀ d)_j`` and the corrected column is
+    ``L[:,k] = N (s_k e_k − L c2)`` with ``N = 1/√(1 − Σ c2²)`` — one-reduce
+    CGS2: the second sweep never touches HBM.
+    """
+    kmax = sc.L.shape[0]
+    idx = jnp.arange(kmax)
+    L, s, Hs, M = sc
+    r = jnp.where(idx == k, rp, r)
+    r = jnp.where(idx <= k, r, 0.0)
+    b = jnp.sqrt(q)
+    sk = _safe_inv(b)
+    s = jnp.where(idx == k, sk, s)
+    ohk = jax.nn.one_hot(k, kmax, dtype=jnp.float32)
+    if dgks:
+        d = jnp.where(idx == k, q, d)
+        d = jnp.where(idx <= k, d, 0.0)
+        # stored-row Gram: column k and row k from the measured drift
+        M = M * (1 - ohk)[None, :] + d[:, None] * ohk[None, :]
+        M = M * (1 - ohk)[:, None] + d[None, :] * ohk[:, None]
+        c2 = sk * (L.T @ d)
+        c2 = jnp.where(idx < k, c2, 0.0)
+        N = 1.0 / jnp.sqrt(jnp.maximum(1.0 - jnp.sum(c2 * c2), 0.25))
+        Lcol = N * (sk * ohk - L @ c2)
+        lam = N * sk  # = Lcol[k]: L is upper-triangular, (L c2)[k] = 0
+    else:
+        Lcol = sk * ohk
+        lam = sk
+    Lcol = jnp.where(idx <= k, Lcol, 0.0)
+    L = L * (1 - ohk)[None, :] + Lcol[:, None] * ohk[None, :]
+    if dgks:
+        u = Hs @ jnp.where(idx < k, Lcol, 0.0)
+        h = lam * (L.T @ r) + L.T @ (M @ u)
+    else:
+        u = jnp.zeros_like(r)
+        h = lam * (L.T @ r)
+    h = jnp.where(idx <= k, h, 0.0)
+    csub = L @ h - u
+    csub = jnp.where(idx <= k, csub, 0.0)
+    alpha = jax.lax.dynamic_index_in_dim(h, k, 0, keepdims=False)
+    return csub, lam, h, alpha, FusedScales(L, s, Hs, M)
+
+
+def make_fused_stepper(op, kmax: int, dgks: bool, space: VectorSpace):
+    """Bind the static pieces of the fused expansion and return
+    ``(prime, advance, tail)`` closures over an explicit carry tuple
+
+        (Vl, yl, Vbc, ybc, r, d, rp, q, scales, k)
+
+    shared by ``fused_expansions`` and the fused GMRES cycle
+    (``solvers/gmres.py``).  ``dgks=True`` selects the one-reduce CGS2 mode
+    (deferred DGKS second sweep, drift reductions in-kernel); requires
+    ``2·kmax + 2 ≤ 128``."""
+    from ..ops import pallas_fused_lanczos as pf
+
+    spec = pf.spec_for(op)
+    assert spec is not None, "make_fused_stepper requires a fusable stencil op"
+    buckets = bs.buckets_for(kmax)
+    idx = jnp.arange(kmax)
+
+    def leaf_of(t):
+        return jax.tree_util.tree_leaves(t)[0]
+
+    def prime(V, k0, sc: FusedScales):
+        """``y = A R_{k0}`` + raw projections.  The priming norm comes from
+        the scale vector (rows may enter unnormalized — the expintegrator's
+        rejected-partial re-entry)."""
+        vk = bs.get(V, k0)
+        y = op.normal(vk)
+        yl = leaf_of(y)
+        Vl = leaf_of(V)
+        r = bs.project_bucketed(V, y, k0 + 1, space).astype(jnp.float32)
+        rp = r[k0]
+        sk0 = jax.lax.dynamic_index_in_dim(sc.s, k0, 0, keepdims=False)
+        q = _safe_inv(sk0) ** 2
+        d = jnp.zeros((kmax,), jnp.float32)  # top-row drift unmeasured: no
+        # deferred correction for the entry row (fresh/restart rows are
+        # orthonormal; the re-entry row forgoes one correction)
+        T = pf.choose_tile(Vl.shape[1], h=spec.h)
+        Vbc = pf.boundary_cache(Vl, T, spec.h)
+        ybc = pf.boundary_cache(yl, T, spec.h)
+        return (Vl, yl, Vbc, ybc, r, d, rp, q, sc, jnp.asarray(k0, jnp.int32))
+
+    def advance(carry):
+        """One fused step: scalar front-half + kernel + bookkeeping.
+        Returns ``(carry', alpha, beta_new, hcol)`` — ``hcol`` is the full
+        normalized-units projection column (``j ≤ k``; callers add β at
+        ``k+1``)."""
+        Vl, yl, Vbc, ybc, r, d, rp, q, sc, k = carry
+        csub, lam, h, alpha, sc = _step_coeffs(r, d, rp, q, sc, k, dgks)
+        gfull = jnp.concatenate([csub, lam[None]])
+
+        def make_branch(B):
+            def br(Vl, yl, Vbc, ybc, gfull):
+                Vn, yn, raw, wb, ynb = pf.fused_step(
+                    Vl, yl, Vbc, ybc, gfull, jnp.asarray(k + 1, jnp.int32),
+                    B, spec, interpret=fused_interpret, with_drift=dgks,
+                )
+                rn = jnp.pad(raw[:B], (0, kmax - B))
+                if dgks:
+                    dn = jnp.pad(raw[B : 2 * B], (0, kmax - B))
+                    rpn, qn = raw[2 * B], raw[2 * B + 1]
+                else:
+                    dn = jnp.zeros((kmax,), jnp.float32)
+                    rpn, qn = raw[B], raw[B + 1]
+                return Vn, yn, rn, dn, rpn, qn, wb, ynb
+
+            return br
+
+        iB = bs.bucket_index(k + 1, buckets)
+        Vn, yn, rn, dn, rpn, qn, wb, ynb = jax.lax.switch(
+            iB, [make_branch(B) for B in buckets], Vl, yl, Vbc, ybc, gfull
+        )
+        from ..ops import pallas_fused_lanczos as pf2
+
+        Vbc = jax.lax.dynamic_update_slice(
+            Vbc, pf2.cache_from_tile_rows(wb)[None],
+            (jnp.asarray(k + 1, jnp.int32), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0), jnp.int32(0)),
+        )
+        ybc = pf2.cache_from_tile_rows(ynb)
+        beta = jnp.sqrt(qn)
+        L, s, Hs, M = sc
+        s = jnp.where(idx == k + 1, _safe_inv(beta), s)
+        # placeholder L column for the new row (overwritten with its deferred
+        # correction next step; consumed as-is if the loop exits here)
+        ohk1 = jax.nn.one_hot(k + 1, kmax, dtype=jnp.float32)
+        L = L * (1 - ohk1)[None, :] + (
+            _safe_inv(beta) * ohk1
+        )[:, None] * ohk1[None, :]
+        if dgks:
+            # stored-row image of R_k: y = (R_{k+1} + Σ csub_i R_i)/λ
+            hscol = jnp.where(
+                idx <= k + 1, (ohk1 + csub) / lam, 0.0
+            )
+            ohk = jax.nn.one_hot(k, kmax, dtype=jnp.float32)
+            Hs = Hs * (1 - ohk)[None, :] + hscol[:, None] * ohk[None, :]
+        sc = FusedScales(L, s, Hs, M)
+        carry = (Vn, yn, Vbc, ybc, rn, dn, rpn, qn, sc, k + 1)
+        return carry, alpha, beta, h
+
+    def tail(carry, V_treedef, go):
+        """Masked final append WITHOUT the (wasted) next operator apply:
+        plain bucketed subtract in XLA.  Returns ``(Vl', scales', alpha,
+        beta, hcol)`` — all bookkeeping gated by ``go``."""
+        Vl, yl, Vbc, ybc, r, d, rp, q, sc0, k = carry
+        csub, lam, h, alpha, sc = _step_coeffs(r, d, rp, q, sc0, k, dgks)
+        Vtree = jax.tree_util.tree_unflatten(V_treedef, [Vl])
+        Wl = lam * yl - leaf_of(bs.unproject_bucketed(Vtree, csub, k + 1))
+        qn = jnp.sum(Wl * Wl)
+        beta = jnp.sqrt(qn)
+        old_row = jax.lax.dynamic_index_in_dim(Vl, k + 1, 0, keepdims=False)
+        Vl = jax.lax.dynamic_update_index_in_dim(
+            Vl, jnp.where(go, Wl, old_row), k + 1, 0
+        )
+        L, s, Hs, M = sc
+        ohk1 = jax.nn.one_hot(k + 1, kmax, dtype=jnp.float32)
+        s = jnp.where(idx == k + 1, _safe_inv(beta), s)
+        L = L * (1 - ohk1)[None, :] + (
+            _safe_inv(beta) * ohk1
+        )[:, None] * ohk1[None, :]
+        sc = FusedScales(
+            jnp.where(go, L, sc0.L),
+            jnp.where(go, s, sc0.s),
+            jnp.where(go, Hs, sc0.Hs),
+            jnp.where(go, M, sc0.M),
+        )
+        return Vl, sc, alpha, beta, h
+
+    return prime, advance, tail
+
+
+def fused_expansions(op, state: KrylovState, scales: FusedScales, m: int,
+                     btol, space, verbosity=0, hermitian: bool = True,
+                     min_one: bool = False, dgks: bool = False):
     """Expand ``state`` from ``k`` to ``m`` with the one-stream fused kernel.
 
     Basis rows appended here are stored UNNORMALIZED (the raw residuals); the
-    scale vector ``s`` (``s[j] = 1/|row j|``; 1 for normalized rows) carries
-    the bookkeeping — the caller must fold ``diag(s)`` into any basis use
-    (restart rotation, extraction).  Entry does NOT require normalized rows:
-    the priming norm of row ``k`` is derived from ``s[k]`` (``|row_k| =
-    1/s[k]``), so re-entering with a partially built unnormalized subspace —
-    the expintegrator's rejected-partial-attempt path — continues correctly.
+    :class:`FusedScales` bundle carries the bookkeeping — the caller must fold
+    ``scales.L`` into any basis use (restart rotation, extraction,
+    unprojection; see :func:`fold_scales`).  Entry does NOT require normalized
+    rows: the priming norm of row ``k`` is derived from ``scales.s[k]``, so
+    re-entering with a partially built unnormalized subspace — the
+    expintegrator's rejected-partial-attempt path — continues correctly.
 
     Per restart cycle this performs exactly ``m - k`` operator applications
     (1 priming apply + 1 in-kernel apply per fused step, none in the tail
@@ -500,57 +726,25 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
     unconditionally expands once per outer iteration while ``K < krylovdim``
     (``src/matrixfun/expintegrator.jl:285-287``).
 
-    Returns ``(state_new, s_new, numops_increment)``.  Mirrors the semantics
-    of the cgs fast path of :func:`expand_hermitian` iterated to ``k = m``
-    (reference ``src/factorizations/lanczos.jl:295-307``).
-    """
-    from ..ops import pallas_fused_lanczos as pf
+    ``dgks=True`` is the ONE-REDUCE CGS2 mode (deferred DGKS second sweep):
+    full two-sweep orthogonality at the same ``B + 3`` HBM row-passes — the
+    kernel additionally reduces the new row's drift against the streamed
+    basis and the correction is applied entirely in scalar space one step
+    later (``_step_coeffs``).  This is what routes the library-default
+    ``cgs2`` through the fused path (the recorded drift study,
+    ``tools/drift_study.py``, shows single-sweep CGS plateaus at ~2e-3
+    orthogonality defect over 100 cycles while this mode holds the cgs2
+    level).  Mirrors the semantics of :func:`expand_hermitian`'s cgs2 branch
+    (3-term + drift sweep, reference ``src/factorizations/lanczos.jl:330-376``).
 
+    Returns ``(state_new, scales_new, numops_increment)``.
+    """
     V, H, k0, beta0 = state
     kmax = H.shape[0]
     treedef = jax.tree_util.tree_structure(V)
-    spec = pf.spec_for(op)
-    assert spec is not None, "fused_expansions requires a fusable stencil op"
     idx = jnp.arange(kmax)
-    buckets = bs.buckets_for(kmax)
     k0 = jnp.asarray(k0, jnp.int32)
-
-    def leaf_of(t):
-        return jax.tree_util.tree_leaves(t)[0]
-
-    # ---- prime: y = A v_k, raw projections r_j = <row_j, y> for j <= k.
-    # (The caller only enters with k < m and beta > btol — the outer loop\'s
-    # `done` gate — so the prime apply is never wasted.)
-    vk = bs.get(V, k0)
-    y = op.normal(vk)
-    yl = leaf_of(y)
-    Vl = leaf_of(V)
-    r = bs.project_bucketed(V, y, k0 + 1, space).astype(jnp.float32)
-    rp = r[k0]
-    # |row_{k0}|² from the scale vector (1/s[k0] = |row|): rows may re-enter
-    # unnormalized after an early residual-budget stop whose partial attempt
-    # was rejected (solvers/expintegrator.py) — hardcoding q = 1 there scaled
-    # H column k0 by β² and broke the breakdown gate (round-4 advisor finding)
-    sk0 = jax.lax.dynamic_index_in_dim(
-        s.astype(jnp.float32), k0, 0, keepdims=False
-    )
-    q = _safe_inv(sk0) ** 2
-    # boundary caches (halo rows per tile) — O(R/T) data.  Built once per
-    # cycle here and updated incrementally from the kernel's per-tile
-    # first/last-row outputs: strided-slicing the 250 MB buffer per STEP
-    # costs more than the fused kernel itself (tools/bench_fused_variants.py)
-    T = pf.choose_tile(Vl.shape[1], h=spec.h)
-    Vbc = pf.boundary_cache(Vl, T, spec.h)
-    ybc = pf.boundary_cache(yl, T, spec.h)
-
-    def subtract_coeffs(r, rp, q, s, k):
-        # w\' = A v_k - sum_{j<=k} <v_j, A v_k> v_j on the STORED (scaled)
-        # rows: coefficient on row_j is s_j^2 r_j / b (and rp replaces r[k]),
-        # with gamma_y = 1/b, b = |row_k| = sqrt(q).  See module docstring of
-        # ops/pallas_fused_lanczos.py for the derivation.
-        b = jnp.sqrt(q)
-        rfull = jnp.where(idx == k, rp, r)
-        return jnp.where(idx <= k, s * s * rfull / b, 0.0), b
+    prime, advance, tail = make_fused_stepper(op, kmax, dgks, space)
 
     def h_column(H, k, alpha, beta, c=None):
         # identical column-write pattern to the cgs paths of
@@ -572,84 +766,43 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
             H, col[:, None], (jnp.int32(0), jnp.asarray(k, jnp.int32))
         )
 
+    carry0 = prime(V, k0, scales)
+
     # ---- fused steady loop: append rows k0+1 .. m-1
     def cond(c):
-        Vl, yl, Vbc, ybc, r, rp, q, s, k, H = c
+        carry, H = c
+        q, k = carry[7], carry[9]
         go = jnp.sqrt(q) > btol
         if min_one:
             go = jnp.logical_or(go, k == k0)
         return jnp.logical_and(k < m - 1, go)
 
     def body(c):
-        Vl, yl, Vbc, ybc, r, rp, q, s, k, H = c
-        gsub, b = subtract_coeffs(r, rp, q, s, k)
-        alpha = rp / q
-        gfull = jnp.concatenate([gsub, (1.0 / b)[None]])
-
-        def make_branch(B):
-            def br(Vl, yl, Vbc, ybc, gfull):
-                Vn, yn, raw, wb, ynb = pf.fused_step(
-                    Vl, yl, Vbc, ybc, gfull, jnp.asarray(k + 1, jnp.int32),
-                    B, spec, interpret=fused_interpret,
-                )
-                rnew = jnp.pad(raw[:B], (0, kmax - B))
-                return Vn, yn, rnew, raw[B], raw[B + 1], wb, ynb
-
-            return br
-
-        iB = bs.bucket_index(k + 1, buckets)
-        Vn, yn, rnew, rpn, qn, wb, ynb = jax.lax.switch(
-            iB, [make_branch(B) for B in buckets], Vl, yl, Vbc, ybc, gfull
-        )
-        Vbc = jax.lax.dynamic_update_slice(
-            Vbc, pf.cache_from_tile_rows(wb)[None],
-            (jnp.asarray(k + 1, jnp.int32), jnp.int32(0), jnp.int32(0),
-             jnp.int32(0), jnp.int32(0)),
-        )
-        ybc = pf.cache_from_tile_rows(ynb)
-        beta_k = jnp.sqrt(qn)
+        carry, H = c
+        k = carry[9]
+        carry, alpha, beta_k, h = advance(carry)
         if hermitian:
             H = h_column(H, k, alpha, beta_k)
         else:
-            b = jnp.sqrt(q)
-            rfull = jnp.where(idx == k, rp, r)
-            ccol = jnp.where(idx <= k, s * rfull / b, 0.0)
-            H = h_column(H, k, alpha, beta_k, c=ccol)
-        s = jnp.where(idx == k + 1, _safe_inv(beta_k), s)
-        return Vn, yn, Vbc, ybc, rnew, rpn, qn, s, k + 1, H
+            H = h_column(H, k, alpha, beta_k, c=h)
+        return carry, H
 
-    Vl, yl, Vbc, ybc, r, rp, q, s, k, H = jax.lax.while_loop(
-        cond, body, (Vl, yl, Vbc, ybc, r, rp, q, s, k0, H)
-    )
+    carry, H = jax.lax.while_loop(cond, body, (carry0, H))
+    Vl, yl, Vbc, ybc, r, d, rp, q, sc, k = carry
 
-    # ---- tail step: append row m WITHOUT the (wasted) next apply — plain
-    # bucketed subtract.  Masked, not cond-wrapped: branch outputs would
-    # defensively copy the basis buffer (same reasoning as the masked
-    # restart in solvers/lanczos.py).
+    # ---- tail step: append row m WITHOUT the (wasted) next apply.  Masked,
+    # not cond-wrapped: branch outputs would defensively copy the basis
+    # buffer (same reasoning as the masked restart in solvers/lanczos.py).
     go_tail = jnp.sqrt(q) > btol
     if min_one:
         go_tail = jnp.logical_or(go_tail, k == k0)
     go = jnp.logical_and(k == m - 1, go_tail)
-    gsub, b = subtract_coeffs(r, rp, q, s, k)
-    alpha = rp / q
-    Vtree = jax.tree_util.tree_unflatten(treedef, [Vl])
-    Wl = (1.0 / b) * yl - leaf_of(
-        bs.unproject_bucketed(Vtree, gsub, k + 1)
-    )
-    qn = jnp.sum(Wl * Wl)
-    beta_m = jnp.sqrt(qn)
-    old_row = jax.lax.dynamic_index_in_dim(Vl, k + 1, 0, keepdims=False)
-    Vl = jax.lax.dynamic_update_index_in_dim(
-        Vl, jnp.where(go, Wl, old_row), k + 1, 0
-    )
+    Vl, sc, alpha, beta_m, h = tail(carry, treedef, go)
     if hermitian:
         Htail = h_column(H, k, alpha, beta_m)
     else:
-        rfull_t = jnp.where(idx == k, rp, r)
-        ccol_t = jnp.where(idx <= k, s * rfull_t / b, 0.0)
-        Htail = h_column(H, k, alpha, beta_m, c=ccol_t)
+        Htail = h_column(H, k, alpha, beta_m, c=h)
     H = jnp.where(go, Htail, H)
-    s = jnp.where(jnp.logical_and(go, idx == k + 1), _safe_inv(beta_m), s)
     k_out = k + go.astype(jnp.int32)
     beta_out = jnp.where(go, beta_m, jnp.sqrt(q)).astype(beta0.dtype)
 
@@ -657,4 +810,4 @@ def fused_expansions(op, state: KrylovState, s, m: int, btol, space,
     state_new = KrylovState(
         jax.tree_util.tree_unflatten(treedef, [Vl]), H, k_out, beta_out
     )
-    return state_new, s, numops_inc
+    return state_new, sc, numops_inc

@@ -247,6 +247,7 @@ def _fused_kernel(
     B: int,
     T: int,
     spec: StencilSpec,
+    with_drift: bool,
 ):
     from jax.experimental import pallas as pl
 
@@ -293,15 +294,21 @@ def _fused_kernel(
     rp_part = jnp.sum(Wt.astype(jnp.float32) * yn)  # <w', y'>
     q_part = jnp.sum(Wt.astype(jnp.float32) * Wt.astype(jnp.float32))  # ‖w'‖²
 
-    packed = jnp.concatenate(
-        [
-            r_part.reshape(1, B),
-            rp_part.reshape(1, 1),
-            q_part.reshape(1, 1),
-            jnp.zeros((1, LANES - B - 2), jnp.float32),
-        ],
-        axis=1,
-    )
+    parts = [r_part.reshape(1, B)]
+    if with_drift:
+        # drift of the new row against the streamed basis, <V_j, w'> —
+        # compute-only (V/w' already in VMEM): feeds the deferred DGKS
+        # correction of the one-reduce cgs2 mode (factorizations/krylov.py)
+        d_part = jax.lax.dot_general(
+            V2, W2, (((1,), (1,)), ((), ())), precision=_HI
+        )  # (B, 1)
+        parts.append(d_part.reshape(1, B))
+    parts += [
+        rp_part.reshape(1, 1),
+        q_part.reshape(1, 1),
+        jnp.zeros((1, LANES - (2 * B if with_drift else B) - 2), jnp.float32),
+    ]
+    packed = jnp.concatenate(parts, axis=1)
 
     @pl.when(i == 0)
     def _():
@@ -312,7 +319,7 @@ def _fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("B", "spec", "tile_rows", "interpret"),
+    static_argnames=("B", "spec", "tile_rows", "interpret", "with_drift"),
 )
 def fused_step(
     V,  # (kmax, R, 128) f32 basis buffer (rows stored UNNORMALIZED, see module doc)
@@ -325,9 +332,12 @@ def fused_step(
     spec: StencilSpec,
     tile_rows: int = 256,
     interpret: bool = False,
+    with_drift: bool = False,
 ):
     """One fused expansion step.  Returns ``(V_new, y_next, raw, wb, ynb)``:
-    ``raw[:B] = <V[j], y'>``, ``raw[B] = <w', y'>``, ``raw[B+1] = |w'|^2``;
+    ``raw[:B] = <V[j], y'>``, ``raw[B] = <w', y'>``, ``raw[B+1] = |w'|^2``
+    (with ``with_drift`` the layout is ``[r(B) | d(B) | rp | q]`` where
+    ``d[j] = <V[j], w'>`` — requires ``2·kmax + 2 <= 128``);
     ``wb``/``ynb`` are the per-tile (first h, last h) rows of ``w'``/``y'``
     from which the caller updates the boundary caches in O(nt) work
     (:func:`boundary_cache`/:func:`cache_from_tile_rows`).
@@ -341,10 +351,12 @@ def fused_step(
 
     kmax, R, C = V.shape
     assert C == LANES
-    if B + 2 > LANES:
+    need = (2 * B if with_drift else B) + 2
+    if need > LANES:
         raise ValueError(
-            f"fused_step packs B + 2 = {B + 2} reduction lanes into one "
-            f"{LANES}-lane row; krylovdim must satisfy kmax + 2 <= {LANES} "
+            f"fused_step packs {need} reduction lanes into one "
+            f"{LANES}-lane row; krylovdim must satisfy "
+            f"{'2*kmax' if with_drift else 'kmax'} + 2 <= {LANES} "
             "(fused_available gates this — fall back to the unfused path)"
         )
     h = spec.h
@@ -357,7 +369,9 @@ def fused_step(
     gbuf = gbuf.at[0, :B].set(g[:B].astype(jnp.float32))
     gbuf = gbuf.at[0, B].set(g[kmax].astype(jnp.float32))
 
-    kern = functools.partial(_fused_kernel, B=B, T=T, spec=spec)
+    kern = functools.partial(
+        _fused_kernel, B=B, T=T, spec=spec, with_drift=with_drift
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),

@@ -49,7 +49,7 @@ class _LoopState(NamedTuple):
     Q: jax.Array  # (m+1, m+1) sorted Schur basis (block-diagonal)
     resnorms: jax.Array  # (m+1,) sorted Schur residual norms
     done: jax.Array
-    s: jax.Array  # (m+1,) basis-row scales (ones unless fused expansion)
+    sc: kf.FusedScales  # basis bookkeeping (identity unless fused expansion)
 
 
 def _process(H, k, beta, which, tol):
@@ -89,10 +89,11 @@ def _restart(fact: kf.KrylovState, T, Q, beta, keep, keep_max: int, gate=None,
         keep, m1, dtype=Q.dtype
     )[None, :]
     if scales is not None:
-        # fused-expansion mode: stored rows are unnormalized (v_j = s_j·row_j)
-        # — rotate with diag(s)·Q; applied before the identity gate so a
-        # gated-off restart preserves the raw rows bit-exactly (lanczos.py)
-        Qkeep = scales[:, None].astype(Q.dtype) * Qkeep
+        # fused-expansion mode: stored rows are unnormalized with true basis
+        # v_j = Σ_i L[i,j]·row_i — rotate with L·Q; applied before the
+        # identity gate so a gated-off restart preserves the raw rows
+        # bit-exactly (lanczos.py)
+        Qkeep = scales.astype(Q.dtype) @ Qkeep
     if gate is not None:
         Qkeep = jnp.where(gate, Qkeep, jnp.eye(m1, dtype=Q.dtype))
     Vnew = bs.transform_partial(V, Qkeep, keep_max + 1)
@@ -168,16 +169,19 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
         Q=jnp.eye(m + 1, dtype=cdt),
         resnorms=jnp.full((m + 1,), jnp.inf, rdt),
         done=jnp.asarray(False),
-        s=jnp.ones((m + 1,), jnp.float32),
+        sc=kf.fused_scales_init(m + 1),
     )
     from ..ops import orthonormal as on
 
     # one-stream fused expansion (ops/pallas_fused_lanczos.py), Arnoldi mode:
-    # full-Hessenberg column writes; real f32 stencil operators + plain cgs
+    # full-Hessenberg column writes; real f32 stencil operators.  Plain cgs
+    # runs the single-sweep stream; the DEFAULT cgs2 runs the one-reduce DGKS
+    # mode (deferred second sweep in scalar space, same B+3 row-passes)
+    dgks = type(alg.orth) is on.ClassicalGramSchmidt2 and 2 * (m + 1) + 2 <= 128
     fused = (
         real
         and not alg.eager
-        and type(alg.orth) is on.ClassicalGramSchmidt
+        and (type(alg.orth) is on.ClassicalGramSchmidt or dgks)
         and cdt == jnp.float32
         and kf.fused_available(op, x0, space, kmax=m + 1)
     )
@@ -203,13 +207,13 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
             return go
 
         if fused:
-            fact, s_rows, dops = kf.fused_expansions(
-                op, fact, st.s, m, btol, space, verbosity=alg.verbosity,
-                hermitian=False,
+            fact, sc, dops = kf.fused_expansions(
+                op, fact, st.sc, m, btol, space, verbosity=alg.verbosity,
+                hermitian=False, dgks=dgks,
             )
             numops = numops + dops
         else:
-            s_rows = st.s
+            sc = st.sc
             fact, numops, _ = jax.lax.while_loop(
                 inner_cond, expand_one, (fact, numops, jnp.int32(0))
             )
@@ -247,9 +251,14 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
             # masked (gated) restart unconditionally, avoiding cond copies
             fact = _restart(
                 fact, T, Q, fact.beta, keep, keep_max, gate=restart_now,
-                scales=s_rows if fused else None,
+                scales=sc.L if fused else None,
             )
-        s_rows = jnp.where(restart_now, jnp.ones_like(s_rows), s_rows)
+        # restart renormalizes surviving rows; the Krylov-Schur H (triangular
+        # block + spike) seeds the stored-row Hessenberg of the dgks mode
+        sc_fresh = kf.fused_scales_init(m + 1, H=fact.H if fused else None)
+        sc = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(restart_now, a, b), sc_fresh, sc
+        )
         log_if(
             alg.verbosity, EACHITERATION,
             "Arnoldi schursolve in iteration {it}: {nc} values converged, "
@@ -257,7 +266,7 @@ def _arnoldi_loop(op, x0, howmany, which, alg: Arnoldi, space, cdt, real=False):
             it=numiter, nc=nconv, nr=res[: min(8, m)],
         )
         return _LoopState(fact, numiter, numops, nconv, T, Q, res, done,
-                          s_rows)
+                          sc)
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
     return st
@@ -295,7 +304,7 @@ def schursolve(
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
     Qmask = jnp.where((rows < fact.k) & (cols < howmany), st.Q, 0)
-    Qmask = st.s[:, None].astype(Qmask.dtype) * Qmask  # fused row scales
+    Qmask = kf.fold_scales(st.sc, Qmask)  # fused row bookkeeping
     Vs = bs.transform(fact.V, Qmask)
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vs)
     Tsmall = st.T[:howmany, :howmany]
@@ -308,10 +317,10 @@ def schursolve(
         st.Q, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
-    sk = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
-    vk = jax.tree_util.tree_map(
-        lambda l: sk.astype(l.dtype) * l, bs.get(fact.V, fact.k)
-    )
+    Lk = jax.lax.dynamic_slice(
+        st.sc.L, (jnp.int32(0), jnp.asarray(fact.k, jnp.int32)), (m1, 1)
+    )[:, 0]
+    vk = bs.unproject_bucketed(fact.V, Lk.astype(cdt), fact.k + 1)
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )
@@ -360,9 +369,8 @@ def eigsolve_arnoldi(
         vals = (re + 1j * im).astype(cdt)[:howmany]
         QXre, QXim = st.Q @ Xre, st.Q @ Xim
         mask = (rows < fact.k) & (cols < howmany)
-        sc = st.s[:, None]
-        Vre = bs.transform(fact.V, sc * jnp.where(mask, QXre, 0))
-        Vim = bs.transform(fact.V, sc * jnp.where(mask, QXim, 0))
+        Vre = bs.transform(fact.V, kf.fold_scales(st.sc, jnp.where(mask, QXre, 0)))
+        Vim = bs.transform(fact.V, kf.fold_scales(st.sc, jnp.where(mask, QXim, 0)))
         vecs = jax.tree_util.tree_map(
             lambda lr, li: (lr[:howmany] + 1j * li[:howmany]).astype(cdt),
             Vre,
@@ -373,7 +381,7 @@ def eigsolve_arnoldi(
         X = dense.triangular_eigvecs(st.T, fact.k)  # eigvecs of T in Schur basis
         QX = st.Q @ X
         QXmask = jnp.where((rows < fact.k) & (cols < howmany), QX, 0)
-        QXmask = st.s[:, None].astype(QXmask.dtype) * QXmask
+        QXmask = kf.fold_scales(st.sc, QXmask)
         Ve = bs.transform(fact.V, QXmask)
         vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Ve)
         vals = jnp.diagonal(st.T)[:howmany]
@@ -382,9 +390,11 @@ def eigsolve_arnoldi(
         QX, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
-    sk = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
-    vk = bs.get(fact.V, fact.k)
-    vk = jax.tree_util.tree_map(lambda l: (sk * l).astype(cdt), vk)
+    Lk = jax.lax.dynamic_slice(
+        st.sc.L, (jnp.int32(0), jnp.asarray(fact.k, jnp.int32)), (m1, 1)
+    )[:, 0]
+    vk = bs.unproject_bucketed(fact.V, Lk.astype(fact.H.dtype), fact.k + 1)
+    vk = jax.tree_util.tree_map(lambda l: l.astype(cdt), vk)
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )
@@ -445,17 +455,17 @@ def realeigsolve_arnoldi(
     Xre, _ = dense.triangular_eigvecs_real(st.T, fact.k)
     QX = st.Q @ Xre
     mask = (rows < fact.k) & (cols < howmany)
-    Ve = bs.transform(fact.V, st.s[:, None] * jnp.where(mask, QX, 0))
+    Ve = bs.transform(fact.V, kf.fold_scales(st.sc, jnp.where(mask, QX, 0)))
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Ve)
     vals = re[:howmany]
     lastrow = jax.lax.dynamic_index_in_dim(
         QX, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
-    sk = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
-    vk = jax.tree_util.tree_map(
-        lambda l: sk.astype(l.dtype) * l, bs.get(fact.V, fact.k)
-    )
+    Lk = jax.lax.dynamic_slice(
+        st.sc.L, (jnp.int32(0), jnp.asarray(fact.k, jnp.int32)), (m1, 1)
+    )[:, 0]
+    vk = bs.unproject_bucketed(fact.V, Lk.astype(pdt), fact.k + 1)
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], vk
     )

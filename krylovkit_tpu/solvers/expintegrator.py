@@ -62,7 +62,7 @@ class _State(NamedTuple):
     numops: jax.Array
     done: jax.Array
     fixedpt: jax.Array  # converged to fixed point (t=Inf, p==1 path)
-    s: jax.Array  # (m+1,) basis-row scales (ones unless fused expansion)
+    sc: kf.FusedScales  # basis bookkeeping (identity unless fused expansion)
 
 
 def _build_aug(H, K, p, coeff, m1p):
@@ -205,10 +205,13 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
     # Lanczos subspaces of real f32 stencil operators under plain cgs
     from ..ops import orthonormal as on
 
+    dgks = (
+        type(alg.orth) is on.ClassicalGramSchmidt2 and 2 * (m + 1) + 2 <= 128
+    )
     fused = (
         isinstance(alg, Lanczos)
         and not alg.eager
-        and type(alg.orth) is on.ClassicalGramSchmidt
+        and (type(alg.orth) is on.ClassicalGramSchmidt or dgks)
         and cdt == jnp.float32
         and kf.fused_available(op, u[0], space, kmax=m + 1)
     )
@@ -225,7 +228,7 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
         numops=numops0,
         done=jnp.asarray(False),
         fixedpt=jnp.asarray(False),
-        s=jnp.ones((m + 1,), jnp.float32),
+        sc=kf.fused_scales_init(m + 1),
     )
     # immediate fixed-point detection (reference :127-135); the reference
     # reports numiter = 0 on this exit (":163: ConvergenceInfo(1, …, 0, numops)")
@@ -252,10 +255,6 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
         )[:, 0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (m1p,), 0)
         col = jnp.where(rows < K, col, 0)
-        # fused expansion stores rows unnormalized (v_j = s_j·row_j): fold the
-        # scales into the unprojection coefficients (identity when s == 1)
-        colm = col[: m + 1] * st.s.astype(col.dtype)
-        wp1 = bs.unproject(fact.V, colm)  # K ≤ m < m+1: no truncation loss
         Km1 = jnp.maximum(K - 1, 0)
         corr = jax.lax.dynamic_index_in_dim(
             jax.lax.dynamic_index_in_dim(expH, Km1, 0, keepdims=False),
@@ -263,12 +262,16 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
             0,
             keepdims=False,
         )
-        # residual vector = β_fact · V[K]  (scaled row)
-        sK = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
-        vK = jax.tree_util.tree_map(
-            lambda l: sK.astype(l.dtype) * l, bs.get(fact.V, fact.k)
-        )
-        wp1 = add(wp1, vK, a=corr * fact.beta.astype(cdt))
+        # fused expansion stores rows unnormalized (v_j = Σ_i L[i,j]·row_i):
+        # fold L into the unprojection coefficients, and fold the residual
+        # correction corr·β·v_K into the SAME unproject (one basis pass)
+        LK = jax.lax.dynamic_slice(
+            st.sc.L, (jnp.int32(0), jnp.asarray(fact.k, jnp.int32)),
+            (m + 1, 1),
+        )[:, 0]
+        colm = kf.fold_scales(st.sc, col[: m + 1].astype(cdt))
+        colm = colm + (corr * fact.beta.astype(cdt)) * LK.astype(cdt)
+        wp1 = bs.unproject(fact.V, colm)  # K ≤ m < m+1: no truncation loss
         w0 = add(w0, wp1, a=st.beta.astype(cdt) * sgn_dt**p)
         wnew = (w0,) + st.w[1:]
         return st._replace(
@@ -322,22 +325,23 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
             )
 
             def run_fused(c):
-                fact, s_rows, numops = c
+                fact, sc, numops = c
                 # min_one: after a REJECTED partial attempt the loop re-enters
                 # with β ≤ btol_eff and an unnormalized last row; the
                 # reference still expands one step per outer iteration
                 # (src/matrixfun/expintegrator.jl:285-287) — without it the
                 # outer loop would livelock on the rejected state
-                fact, s_rows, dops = kf.fused_expansions(
-                    op, fact, s_rows, m, btol_eff, space,
+                fact, sc, dops = kf.fused_expansions(
+                    op, fact, sc, m, btol_eff, space,
                     verbosity=alg.verbosity, hermitian=True, min_one=True,
+                    dgks=dgks,
                 )
-                return fact, s_rows, numops + dops
+                return fact, sc, numops + dops
 
-            fact, s_rows, numops = jax.lax.cond(
-                can, run_fused, lambda c: c, (fact, st.s, numops)
+            fact, sc, numops = jax.lax.cond(
+                can, run_fused, lambda c: c, (fact, st.sc, numops)
             )
-            st = st._replace(fact=fact, numops=numops, s=s_rows)
+            st = st._replace(fact=fact, numops=numops, sc=sc)
         else:
             fact, numops = jax.lax.cond(
                 can, expand_one, lambda c: c, (fact, numops)
@@ -453,7 +457,7 @@ def _expintegrator_core(op: LinearOperator, t, u: Tuple, alg, space):
                 numiter=jnp.where(fixed, st.numiter, st.numiter + 1),
                 numops=numops,
                 done=st.done | fixed, fixedpt=fixed,
-                s=jnp.ones_like(st.s),
+                sc=kf.fused_scales_init(m + 1),
             )
 
         need_restart = jnp.logical_not(finished) & complete

@@ -124,8 +124,11 @@ def linsolve_gmres(
     # the Givens QR carried through the fused loop
     from ..ops import orthonormal as on
 
+    dgks = (
+        type(alg.orth) is on.ClassicalGramSchmidt2 and 2 * (m + 1) + 2 <= 128
+    )
     fused = (
-        type(alg.orth) is on.ClassicalGramSchmidt
+        (type(alg.orth) is on.ClassicalGramSchmidt or dgks)
         and cdt == jnp.float32
         and kf.fused_available(op, b, space, kmax=m + 1)
     )
@@ -167,64 +170,43 @@ def linsolve_gmres(
             numops=numops,
         )
         c = jax.lax.while_loop(cycle_cond, cycle_body, c0)
-        ones = jnp.ones((m + 1,), jnp.float32)
-        return c.fact.V, ones, c.G, c.R, c.y, c.fact.k, c.numops
+        return (
+            c.fact.V, kf.fused_scales_init(m + 1), c.G, c.R, c.y, c.fact.k,
+            c.numops,
+        )
 
     def run_cycle_fused(r, normr, numops):
-        """Fused Arnoldi cycle: basis rows stored UNNORMALIZED with scale
-        vector ``s`` (see ``factorizations/krylov.py:fused_expansions`` — the
-        math here mirrors its Arnoldi mode, with the incremental QR replacing
-        the H-buffer as the column consumer).  One extra operator application
-        may occur on early convergence (the kernel computes ``A·row_{k+1}``
-        while column ``k`` is being judged) — counted honestly in numops."""
-        from ..ops import pallas_fused_lanczos as pf
-
-        spec = pf.spec_for(op)
+        """Fused Arnoldi cycle on the shared one-stream stepper
+        (``kf.make_fused_stepper``): basis rows stored UNNORMALIZED with the
+        ``FusedScales`` bookkeeping (dgks mode = one-reduce CGS2 for the
+        default ``cgs2`` orthogonalizer); the incremental QR is carried
+        through the fused while-loop so per-column convergence stopping is
+        preserved.  One extra operator application may occur on early
+        convergence (the kernel computes ``A·row_{k+1}`` while column ``k``
+        is being judged) — counted honestly in numops."""
         kmax = m + 1
         idx = jnp.arange(kmax)
-        buckets = bs.buckets_for(kmax)
         btol = jnp.asarray(jnp.finfo(rdt).eps, rdt) ** jnp.asarray(0.75, rdt)
 
         fact = kf.initialize(r, m, cdt, space, vec_dtype=cdt)
-        V = fact.V
-        treedef = jax.tree_util.tree_structure(V)
+        treedef = jax.tree_util.tree_structure(fact.V)
+        prime, advance, tail = kf.make_fused_stepper(op, kmax, dgks, space)
+        carry0 = prime(fact.V, jnp.int32(0), kf.fused_scales_init(kmax))
 
-        def leaf_of(t):
-            return jax.tree_util.tree_leaves(t)[0]
-
-        # prime: y = A v0, raw projections
-        v0 = bs.get(V, jnp.int32(0))
-        yv = op.normal(v0)
-        yl = leaf_of(yv)
-        Vl = leaf_of(V)
-        rproj = bs.project_bucketed(V, yv, jnp.int32(1), space).astype(
-            jnp.float32
-        )
-        rp = rproj[0]
-        q = jnp.ones((), jnp.float32)
-        T = pf.choose_tile(Vl.shape[1], h=spec.h)
-        Vbc = pf.boundary_cache(Vl, T, spec.h)
-        ybc = pf.boundary_cache(yl, T, spec.h)
-
-        s = jnp.ones((kmax,), jnp.float32)
         G0 = jnp.eye(m + 1, dtype=cdt)
         R0 = jnp.zeros((m + 1, m + 1), cdt)
         yt0 = (normr.astype(cdt)) * jax.nn.one_hot(0, m + 1, dtype=cdt)
 
-        def subtract_coeffs(rv, rp, q, s, k):
-            b_ = jnp.sqrt(q)
-            rfull = jnp.where(idx == k, rp, rv)
-            return jnp.where(idx <= k, s * s * rfull / b_, 0.0), rfull, b_
-
-        def hcol_of(rfull, s, b_, k, beta_k):
-            # full projection column in NORMALIZED units + β at k+1
-            c_ = jnp.where(idx <= k, s * rfull / b_, 0.0).astype(cdt)
-            return c_ + beta_k.astype(cdt) * jax.nn.one_hot(
+        def shifted_col(h, beta_k, k):
+            # shifted Hessenberg column: a1·(h + β e_{k+1}) + a0·e_k
+            col = h.astype(cdt) + beta_k.astype(cdt) * jax.nn.one_hot(
                 k + 1, kmax, dtype=cdt
             )
+            return a1c * col + a0c * jax.nn.one_hot(k, kmax, dtype=cdt)
 
         def cond(c):
-            Vl, yl, Vbc, ybc, rv, rp, q, s, k, G, R, yt, numops = c
+            carry, G, R, yt, numops = c
+            q, k = carry[7], carry[9]
             resk = jnp.abs(
                 jax.lax.dynamic_index_in_dim(yt, k, 0, keepdims=False)
             )
@@ -234,93 +216,45 @@ def linsolve_gmres(
             )
 
         def body(c):
-            Vl, yl, Vbc, ybc, rv, rp, q, s, k, G, R, yt, numops = c
-            gsub, rfull, b_ = subtract_coeffs(rv, rp, q, s, k)
-            gfull = jnp.concatenate([gsub, (1.0 / b_)[None]])
+            carry, G, R, yt, numops = c
+            k = carry[9]
+            carry, alpha, beta_k, h = advance(carry)
+            G, R, yt = _qr_update(G, R, yt, shifted_col(h, beta_k, k), k, cdt)
+            return carry, G, R, yt, numops + 1
 
-            def make_branch(B):
-                def br(Vl, yl, Vbc, ybc, gfull):
-                    Vn, yn, raw, wb, ynb = pf.fused_step(
-                        Vl, yl, Vbc, ybc, gfull,
-                        jnp.asarray(k + 1, jnp.int32),
-                        B, spec, interpret=kf.fused_interpret,
-                    )
-                    rnew = jnp.pad(raw[:B], (0, kmax - B))
-                    return Vn, yn, rnew, raw[B], raw[B + 1], wb, ynb
-
-                return br
-
-            iB = bs.bucket_index(k + 1, buckets)
-            Vn, yn, rnew, rpn, qn, wb, ynb = jax.lax.switch(
-                iB, [make_branch(B) for B in buckets], Vl, yl, Vbc, ybc, gfull
-            )
-            Vbc = jax.lax.dynamic_update_slice(
-                Vbc, pf.cache_from_tile_rows(wb)[None],
-                (jnp.asarray(k + 1, jnp.int32), jnp.int32(0), jnp.int32(0),
-                 jnp.int32(0), jnp.int32(0)),
-            )
-            ybc = pf.cache_from_tile_rows(ynb)
-            beta_k = jnp.sqrt(qn)
-            col = a1c * hcol_of(rfull, s, b_, k, beta_k) + a0c * jax.nn.one_hot(
-                k, kmax, dtype=cdt
-            )
-            G, R, yt = _qr_update(G, R, yt, col, k, cdt)
-            s = jnp.where(idx == k + 1, kf._safe_inv(beta_k), s)
-            return (
-                Vn, yn, Vbc, ybc, rnew, rpn, qn, s, k + 1, G, R, yt,
-                numops + 1,
-            )
-
-        (
-            Vl, yl, Vbc, ybc, rv, rp, q, s, k, G, R, yt, numops
-        ) = jax.lax.while_loop(
-            cond, body,
-            (Vl, yl, Vbc, ybc, rproj, rp, q, s, jnp.int32(0), G0, R0, yt0,
-             numops + 1),  # +1: the priming apply
+        carry, G, R, yt, numops = jax.lax.while_loop(
+            cond, body, (carry0, G0, R0, yt0, numops + 1)  # +1: priming apply
         )
+        q, k = carry[7], carry[9]
 
         # tail column m-1: no (wasted) next apply — masked bucketed subtract
         resk = jnp.abs(jax.lax.dynamic_index_in_dim(yt, k, 0, keepdims=False))
         go = (k == m - 1) & (resk > tol) & (jnp.sqrt(q) > btol)
-        gsub, rfull, b_ = subtract_coeffs(rv, rp, q, s, k)
-        Vtree = jax.tree_util.tree_unflatten(treedef, [Vl])
-        Wl = (1.0 / b_) * yl - leaf_of(
-            bs.unproject_bucketed(Vtree, gsub, k + 1)
-        )
-        qn = jnp.sum(Wl * Wl)
-        beta_m = jnp.sqrt(qn)
-        old_row = jax.lax.dynamic_index_in_dim(Vl, k + 1, 0, keepdims=False)
-        Vl = jax.lax.dynamic_update_index_in_dim(
-            Vl, jnp.where(go, Wl, old_row), k + 1, 0
-        )
-        col = a1c * hcol_of(rfull, s, b_, k, beta_m) + a0c * jax.nn.one_hot(
-            k, kmax, dtype=cdt
-        )
-        Gt, Rt, ytt = _qr_update(G, R, yt, col, k, cdt)
+        Vl, sc, alpha, beta_m, h = tail(carry, treedef, go)
+        Gt, Rt, ytt = _qr_update(G, R, yt, shifted_col(h, beta_m, k), k, cdt)
         G = jnp.where(go, Gt, G)
         R = jnp.where(go, Rt, R)
         yt = jnp.where(go, ytt, yt)
-        s = jnp.where(go & (idx == k + 1), kf._safe_inv(beta_m), s)
         k = k + go.astype(jnp.int32)
         return (
-            jax.tree_util.tree_unflatten(treedef, [Vl]), s, G, R, yt, k,
+            jax.tree_util.tree_unflatten(treedef, [Vl]), sc, G, R, yt, k,
             numops,
         )
 
     run_cycle = run_cycle_fused if fused else run_cycle_unfused
 
     def outer_body(st: _Outer) -> _Outer:
-        V, s, G, R, yv, k, numops = run_cycle(st.r, st.normr, st.numops)
+        V, sc, G, R, yv, k, numops = run_cycle(st.r, st.normr, st.numops)
         # triangular solve on active k×k block
         coeff = solve_upper_active(R[:m, :m], yv[:m], k)
         coeff = jnp.concatenate([coeff, jnp.zeros((1,), cdt)])
-        # fused cycles store rows unnormalized: fold the scales into every
-        # basis consumption (identity when s == 1)
-        x = add(st.x, bs.unproject(V, s.astype(cdt) * coeff))
+        # fused cycles store rows unnormalized: fold the bookkeeping into
+        # every basis consumption (identity when unfused)
+        x = add(st.x, bs.unproject(V, kf.fold_scales(sc, coeff)))
         # residual reconstruction: r = V · (Gᴴ e_k · ỹ_k)
         yk = jax.lax.dynamic_index_in_dim(yv, k, 0, keepdims=False)
         rc = jnp.conj(G.T) @ (yk * jax.nn.one_hot(k, m + 1, dtype=cdt))
-        r = bs.unproject(V, s.astype(cdt) * rc)
+        r = bs.unproject(V, kf.fold_scales(sc, rc))
         normr = jnp.abs(yk)
         numiter = st.numiter + 1
 

@@ -42,7 +42,7 @@ class _LoopState(NamedTuple):
     U: jax.Array  # (m+1, m+1) sorted Ritz coefficient vectors
     resnorms: jax.Array  # (m+1,) sorted Ritz residual norms
     done: jax.Array
-    s: jax.Array  # (m+1,) basis-row scales (all ones unless fused expansion)
+    sc: kf.FusedScales  # basis bookkeeping (identity unless fused expansion)
 
 
 def _process(H, k, beta, which, tol, howmany):
@@ -92,11 +92,12 @@ def _restart(
         keep, m1, dtype=U.dtype
     )[None, :]
     if scales is not None:
-        # fused-expansion mode stores basis rows unnormalized: v_j = s_j·row_j,
-        # so the rotation acting on STORED rows is diag(s)·U (this also scales
-        # the relocated-residual entry by s[k]).  Applied before the identity
-        # gate — a gated-off restart must preserve the raw rows bit-exactly.
-        Ukeep = scales[:, None].astype(U.dtype) * Ukeep
+        # fused-expansion mode stores basis rows unnormalized with the true
+        # basis v_j = Σ_i L[i,j]·row_i, so the rotation acting on STORED rows
+        # is L·U (this also maps the relocated-residual column to L[:,k]).
+        # Applied before the identity gate — a gated-off restart must
+        # preserve the raw rows bit-exactly.
+        Ukeep = scales.astype(U.dtype) @ Ukeep
     if gate is not None:
         eye = jnp.eye(m1, dtype=U.dtype)
         Ukeep = jnp.where(gate, Ukeep, eye)
@@ -163,7 +164,7 @@ def eigsolve_lanczos(
         U=jnp.zeros((m + 1, m + 1), cdt),
         resnorms=jnp.full((m + 1,), jnp.inf, rdt),
         done=jnp.asarray(False),
-        s=jnp.ones((m + 1,), jnp.float32),
+        sc=kf.fused_scales_init(m + 1),
     )
 
     selective = getattr(alg, "reorth", "full") == "selective"
@@ -174,13 +175,16 @@ def eigsolve_lanczos(
         )
     from ..ops import orthonormal as on
 
-    # one-stream fused expansion (ops/pallas_fused_lanczos.py): engages for
-    # real f32 stencil operators under plain-cgs full reorthogonalization —
-    # exactly the semantics of the cgs fast path of kf.expand_hermitian
+    # one-stream fused expansion (ops/pallas_fused_lanczos.py): plain cgs
+    # runs the single-sweep stream (the cgs fast path of kf.expand_hermitian);
+    # the DEFAULT cgs2 runs the one-reduce DGKS mode (deferred second sweep in
+    # scalar space — same B+3 row-passes, two-sweep orthogonality; see
+    # kf.fused_expansions and tools/drift_study.py)
+    dgks = type(alg.orth) is on.ClassicalGramSchmidt2 and 2 * (m + 1) + 2 <= 128
     fused = (
         not alg.eager
         and not selective
-        and type(alg.orth) is on.ClassicalGramSchmidt
+        and (type(alg.orth) is on.ClassicalGramSchmidt or dgks)
         and cdt == jnp.float32
         and kf.fused_available(op, x0, space, kmax=m + 1)
     )
@@ -222,12 +226,13 @@ def eigsolve_lanczos(
             return go
 
         if fused:
-            fact, s_rows, dops = kf.fused_expansions(
-                op, fact, st.s, m, btol, space, verbosity=alg.verbosity
+            fact, sc, dops = kf.fused_expansions(
+                op, fact, st.sc, m, btol, space, verbosity=alg.verbosity,
+                dgks=dgks,
             )
             numops = numops + dops
         else:
-            s_rows = st.s
+            sc = st.sc
             fact, numops, om, omp, _ = jax.lax.while_loop(
                 inner_cond, expand_one, (fact, numops, om0, omp0, jnp.int32(0))
             )
@@ -273,11 +278,15 @@ def eigsolve_lanczos(
             # masked (gated) restart unconditionally, avoiding cond copies
             fact = _restart(
                 fact, vals, U, fact.beta, keep, keep_max, gate=restart_now,
-                scales=s_rows if fused else None,
+                scales=sc.L if fused else None,
             )
         # a genuine restart renormalizes every surviving row (the rotation
-        # folds diag(s) in), so the scales reset to 1
-        s_rows = jnp.where(restart_now, jnp.ones_like(s_rows), s_rows)
+        # folds L in), so the bookkeeping resets to identity; the arrowhead H
+        # seeds the stored-row Hessenberg of the dgks mode
+        sc_fresh = kf.fused_scales_init(m + 1, H=fact.H if fused else None)
+        sc = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(restart_now, a, b), sc_fresh, sc
+        )
         log_if(
             alg.verbosity, EACHITERATION,
             "Lanczos eigsolve in iteration {it}: {nc} values converged, "
@@ -285,7 +294,7 @@ def eigsolve_lanczos(
             it=numiter, nc=nconv, nr=res[:howmany],
         )
         return _LoopState(
-            fact, numiter, numops, nconv, vals, U, res, done, s_rows
+            fact, numiter, numops, nconv, vals, U, res, done, sc
         )
 
     def outer_cond(st: _LoopState):
@@ -299,15 +308,15 @@ def eigsolve_lanczos(
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
     Umask = jnp.where((rows < fact.k) & (cols < howmany), st.U, 0)
-    # fused expansion stores rows unnormalized (v_j = s_j·row_j): fold the
-    # scales into every basis consumption (identity when s == 1)
-    Umask = st.s[:, None].astype(Umask.dtype) * Umask
+    # fused expansion stores rows unnormalized (v_j = Σ_i L[i,j]·row_i): fold
+    # the bookkeeping into every basis consumption (identity when unfused)
+    Umask = kf.fold_scales(st.sc, Umask)
     # read V[k] BEFORE the rotation: transform_partial aliases the basis
     # buffer in place, so reading it first lets XLA skip a defensive copy
-    sk = jax.lax.dynamic_index_in_dim(st.s, fact.k, 0, keepdims=False)
-    vk = jax.tree_util.tree_map(
-        lambda l: sk.astype(l.dtype) * l, bs.get(fact.V, fact.k)
-    )
+    Lk = jax.lax.dynamic_slice(
+        st.sc.L, (jnp.int32(0), jnp.asarray(fact.k, jnp.int32)), (m1, 1)
+    )[:, 0]
+    vk = bs.unproject_bucketed(fact.V, Lk.astype(cdt), fact.k + 1)
     Vr = bs.transform_partial(fact.V, Umask, howmany)
     vecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vr)
     # residual vectors r_i = β·U[k-1,i] · V[k]  (reference src/eigsolve/lanczos.jl:127-133)

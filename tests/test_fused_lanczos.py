@@ -291,20 +291,22 @@ def test_fused_reentry_with_unnormalized_rows():
     m = 12
     btol = jnp.asarray(1e-12, jnp.float32)
     st0 = kf.initialize(x0, m, jnp.float32)
-    ones = jnp.ones((m + 1,), jnp.float32)
+    sc0 = kf.fused_scales_init(m + 1)
 
-    stA, sA, opsA = kf.fused_expansions(op, st0, ones, m, btol, STANDARD)
-    st1, s1, ops1 = kf.fused_expansions(op, st0, ones, 6, btol, STANDARD)
-    # row 6 of st1 is stored unnormalized with scale s1[6] != 1
-    assert abs(float(s1[6]) - 1.0) > 1e-3
-    st2, s2, ops2 = kf.fused_expansions(op, st1, s1, m, btol, STANDARD)
+    stA, scA, opsA = kf.fused_expansions(op, st0, sc0, m, btol, STANDARD)
+    st1, sc1, ops1 = kf.fused_expansions(op, st0, sc0, 6, btol, STANDARD)
+    # row 6 of st1 is stored unnormalized with scale s[6] != 1
+    assert abs(float(sc1.s[6]) - 1.0) > 1e-3
+    st2, sc2, ops2 = kf.fused_expansions(op, st1, sc1, m, btol, STANDARD)
 
     assert int(opsA) == int(ops1) + int(ops2)
     np.testing.assert_allclose(
         np.asarray(jnp.tril(st2.H)), np.asarray(jnp.tril(stA.H)),
         rtol=5e-4, atol=5e-5,
     )
-    np.testing.assert_allclose(np.asarray(s2), np.asarray(sA), rtol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(sc2.s), np.asarray(scA.s), rtol=5e-4
+    )
     VA = np.asarray(jax.tree_util.tree_leaves(stA.V)[0])
     V2 = np.asarray(jax.tree_util.tree_leaves(st2.V)[0])
     np.testing.assert_allclose(V2, VA, rtol=5e-4, atol=5e-5)
@@ -321,12 +323,12 @@ def test_fused_min_one_forces_progress():
     )
     m = 10
     st0 = kf.initialize(x0, m, jnp.float32)
-    ones = jnp.ones((m + 1,), jnp.float32)
+    sc0 = kf.fused_scales_init(m + 1)
     huge = jnp.asarray(1e6, jnp.float32)  # btol above any residual
-    st, s, ops = kf.fused_expansions(op, st0, ones, m, huge, STANDARD)
+    st, s, ops = kf.fused_expansions(op, st0, sc0, m, huge, STANDARD)
     assert int(st.k) == 0 and int(ops) == 1  # gate refuses (prime only)
     st, s, ops = kf.fused_expansions(
-        op, st0, ones, m, huge, STANDARD, min_one=True
+        op, st0, sc0, m, huge, STANDARD, min_one=True
     )
     assert int(st.k) == 1
 
@@ -527,3 +529,107 @@ def test_fused_gmres_chain_full_budget_numops():
     )
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=1e-2,
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# One-reduce CGS2 (dgks) fused mode — the DEFAULT orth through the fused path
+# ---------------------------------------------------------------------------
+
+
+def test_fused_dgks_driver_matches_unfused_cgs2():
+    # default orth (cgs2), fused one-reduce DGKS vs the unfused 3-term+sweep
+    n = 1 << 12
+    op = laplacian_1d(n, jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(41).standard_normal((n // 128, 128)), jnp.float32
+    )
+    alg = kk.Lanczos(krylovdim=18, maxiter=6, tol=1e-5)  # default orth=cgs2
+    v0, e0, i0 = _solve(op, x0, alg, fused=False)
+    v1, e1, i1 = _solve(op, x0, alg, fused=True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=2e-4)
+    assert int(i0.numops) == int(i1.numops)
+    assert int(i0.numiter) == int(i1.numiter)
+    for a, b in zip(e0, e1):
+        np.testing.assert_allclose(
+            float(jnp.abs(jnp.vdot(a, b))), 1.0, rtol=1e-3
+        )
+
+
+def test_fused_dgks_orthogonality_beats_single_sweep():
+    # the point of the mode: after a long run, the extracted eigenvectors of
+    # the DEFAULT config stay orthonormal at the two-sweep level
+    n = 1 << 11
+    op = laplacian_1d(n, jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(42).standard_normal((n // 128, 128)), jnp.float32
+    )
+    alg = kk.Lanczos(krylovdim=20, maxiter=30, tol=5e-3)  # default cgs2
+    vals, vecs, info = _solve(op, x0, alg, fused=True)
+    assert int(info.converged) >= 2
+    Vm = jnp.stack([v.reshape(-1) for v in vecs])
+    G = Vm @ Vm.T
+    defect = float(jnp.max(jnp.abs(G - jnp.eye(G.shape[0]))))
+    assert defect < 5e-4, defect
+    for i in range(int(info.converged)):
+        r = op.normal(vecs[i]) - vals[i] * vecs[i]
+        assert float(jnp.linalg.norm(r)) < 2e-2
+
+
+def test_fused_dgks_arnoldi_and_gmres():
+    # Arnoldi/Krylov-Schur + GMRES under default cgs2 take the dgks path
+    gr, gc = 32, 128
+    op = GridStencilOperator((gr, gc), POISSON_OFF, POISSON_CF)
+    b = jnp.asarray(
+        np.random.default_rng(43).standard_normal((gr, 128)), jnp.float32
+    )
+    alg = kk.GMRES(krylovdim=20, maxiter=40, tol=1e-4)  # default cgs2
+    x0_, i0 = _gmres_solve(op, b, alg, fused=False, a0=0.5)
+    x1_, i1 = _gmres_solve(op, b, alg, fused=True, a0=0.5)
+    assert int(i0.converged) == 1 and int(i1.converged) == 1
+    r1 = b - (0.5 * x1_ + op.normal(x1_))
+    assert float(jnp.linalg.norm(r1)) <= 1.2e-4
+    assert int(i0.numiter) == int(i1.numiter)
+
+    # schursolve (non-normal stencil), default orth
+    n = 1 << 12
+    op_ns = StencilOperator((-1, 0, 1), (-1.3, 2.0, -0.7))
+    x0 = jnp.asarray(
+        np.random.default_rng(44).standard_normal((n // 128, 128)), jnp.float32
+    )
+    kw = dict(krylovdim=18, maxiter=5, tol=1e-5)
+
+    def run(fused):
+        old = kf.use_fused_expansion
+        kf.use_fused_expansion = fused
+        try:
+            return jax.jit(lambda x: kk.schursolve(op_ns, x, 4, "LM", **kw))(x0)
+        finally:
+            kf.use_fused_expansion = old
+
+    T0, V0, (re0, im0), i0 = run(False)
+    T1, V1, (re1, im1), i1 = run(True)
+    np.testing.assert_allclose(np.asarray(re0), np.asarray(re1), rtol=5e-4)
+    assert int(i0.numops) == int(i1.numops)
+
+
+def test_fused_dgks_exponentiate():
+    n = 1 << 12
+    neg_lap = StencilOperator((-1, 0, 1), (1.0, -2.0, 1.0))
+    x0 = jnp.asarray(
+        np.random.default_rng(45).standard_normal((n // 128, 128)), jnp.float32
+    )
+    out = {}
+    for flag in (False, True):
+        old = kf.use_fused_expansion
+        kf.use_fused_expansion = flag
+        try:
+            y, info = kk.exponentiate(
+                neg_lap, 0.1, x0, krylovdim=30, tol=1e-4, ishermitian=True,
+            )  # default orth=cgs2
+        finally:
+            kf.use_fused_expansion = old
+        out[flag] = (np.asarray(y), int(info.numops), int(info.converged))
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-4,
+                               atol=1e-6)
+    assert out[True][1] == out[False][1]
+    assert out[True][2] == out[False][2] == 1

