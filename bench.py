@@ -27,9 +27,11 @@ def main():
     n = 1 << 21  # 2M unknowns, f32
     maxiter = 10
     op = laplacian_1d(n, jnp.float32)  # row-major chain on (n/128, 128) vectors
-    # cgs: one fused full-basis projection per step (contains the 3-term
-    # coefficients) — the fastest full-reorthogonalization mode on TPU
-    alg = kk.Lanczos(krylovdim=30, maxiter=maxiter, tol=1e-30, orth=kk.cgs)
+    # DEFAULT config (orth=cgs2): routed through the fused one-reduce DGKS
+    # expansion (deferred second sweep in scalar space — two-sweep
+    # orthogonality at B+3 HBM row-passes/step; factorizations/krylov.py).
+    # On-chip r5: 12.16 Gnnz/s default vs 12.20 with orth=cgs vs 6.86 unfused
+    alg = kk.Lanczos(krylovdim=30, maxiter=maxiter, tol=1e-30)
 
     @jax.jit
     def solve(x0):

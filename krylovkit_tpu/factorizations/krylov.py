@@ -34,6 +34,7 @@ from ..ops import orthonormal as on
 from ..ops.vector import VectorSpace, STANDARD
 
 PyTree = Any
+_HI = jax.lax.Precision.HIGHEST
 
 __all__ = [
     "KrylovState",
@@ -509,7 +510,9 @@ def fused_scales_init(kmax: int, H=None) -> FusedScales:
 def fold_scales(sc: FusedScales, coeffs: jax.Array) -> jax.Array:
     """True-basis coefficient vector/matrix → stored-row coefficients:
     ``V_true @ c = V_stored @ (L @ c)``."""
-    return (sc.L.astype(coeffs.dtype) @ coeffs).astype(coeffs.dtype)
+    return jnp.matmul(
+        sc.L.astype(coeffs.dtype), coeffs, precision=_HI
+    ).astype(coeffs.dtype)
 
 
 def _step_coeffs(r, d, rp, q, sc: FusedScales, k, dgks: bool):
@@ -545,10 +548,10 @@ def _step_coeffs(r, d, rp, q, sc: FusedScales, k, dgks: bool):
         # stored-row Gram: column k and row k from the measured drift
         M = M * (1 - ohk)[None, :] + d[:, None] * ohk[None, :]
         M = M * (1 - ohk)[:, None] + d[None, :] * ohk[:, None]
-        c2 = sk * (L.T @ d)
+        c2 = sk * jnp.matmul(L.T, d, precision=_HI)
         c2 = jnp.where(idx < k, c2, 0.0)
         N = 1.0 / jnp.sqrt(jnp.maximum(1.0 - jnp.sum(c2 * c2), 0.25))
-        Lcol = N * (sk * ohk - L @ c2)
+        Lcol = N * (sk * ohk - jnp.matmul(L, c2, precision=_HI))
         lam = N * sk  # = Lcol[k]: L is upper-triangular, (L c2)[k] = 0
     else:
         Lcol = sk * ohk
@@ -556,13 +559,15 @@ def _step_coeffs(r, d, rp, q, sc: FusedScales, k, dgks: bool):
     Lcol = jnp.where(idx <= k, Lcol, 0.0)
     L = L * (1 - ohk)[None, :] + Lcol[:, None] * ohk[None, :]
     if dgks:
-        u = Hs @ jnp.where(idx < k, Lcol, 0.0)
-        h = lam * (L.T @ r) + L.T @ (M @ u)
+        u = jnp.matmul(Hs, jnp.where(idx < k, Lcol, 0.0), precision=_HI)
+        h = lam * jnp.matmul(L.T, r, precision=_HI) + jnp.matmul(
+            L.T, jnp.matmul(M, u, precision=_HI), precision=_HI
+        )
     else:
         u = jnp.zeros_like(r)
-        h = lam * (L.T @ r)
+        h = lam * jnp.matmul(L.T, r, precision=_HI)
     h = jnp.where(idx <= k, h, 0.0)
-    csub = L @ h - u
+    csub = jnp.matmul(L, h, precision=_HI) - u
     csub = jnp.where(idx <= k, csub, 0.0)
     alpha = jax.lax.dynamic_index_in_dim(h, k, 0, keepdims=False)
     return csub, lam, h, alpha, FusedScales(L, s, Hs, M)

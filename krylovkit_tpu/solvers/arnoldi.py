@@ -93,7 +93,10 @@ def _restart(fact: kf.KrylovState, T, Q, beta, keep, keep_max: int, gate=None,
         # v_j = Σ_i L[i,j]·row_i — rotate with L·Q; applied before the
         # identity gate so a gated-off restart preserves the raw rows
         # bit-exactly (lanczos.py)
-        Qkeep = scales.astype(Q.dtype) @ Qkeep
+        Qkeep = jnp.matmul(
+            scales.astype(Q.dtype), Qkeep,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if gate is not None:
         Qkeep = jnp.where(gate, Qkeep, jnp.eye(m1, dtype=Q.dtype))
     Vnew = bs.transform_partial(V, Qkeep, keep_max + 1)

@@ -97,7 +97,10 @@ def _restart(
         # is L·U (this also maps the relocated-residual column to L[:,k]).
         # Applied before the identity gate — a gated-off restart must
         # preserve the raw rows bit-exactly.
-        Ukeep = scales.astype(U.dtype) @ Ukeep
+        Ukeep = jnp.matmul(
+            scales.astype(U.dtype), Ukeep,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if gate is not None:
         eye = jnp.eye(m1, dtype=U.dtype)
         Ukeep = jnp.where(gate, Ukeep, eye)
