@@ -152,6 +152,34 @@ def config3():
     report("gkl_svdsolve_rect", ops * 3 * C / dt / 1e9, "Gnnz/s",
            f"{R}x{C}, {ops} applies in {dt*1e3:.1f} ms, S0={float(S[0]):.4f}")
 
+    # square non-symmetric grid stencil (advection-diffusion): the
+    # stencil-expressible config-3 variant — FUSED one-stream GKL kernels
+    # (normal + adjoint stencil applies in-kernel; factorizations/gkl.py)
+    from krylovkit_tpu.ops.operator import GridStencilOperator
+
+    gr = gcols = 1024
+    nsq = gr * gcols
+    opsq = GridStencilOperator(
+        (gr, gcols), ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)),
+        (4.0, -1.5, -0.5, -1.2, -0.8),
+    )
+    x0sq = jnp.asarray(
+        np.random.default_rng(2).standard_normal((nsq // 128, 128)),
+        jnp.float32,
+    )
+
+    def solve_sq(x0):
+        S, U, V, info = kk.svdsolve(opsq, x0, 8, "LR",
+                                    krylovdim=30, maxiter=12, tol=1e-30)
+        return S, info.numops
+
+    dt, (S, numops) = timed(solve_sq, x0sq)
+    ops = int(numops)
+    report("gkl_svdsolve_square_stencil_fused", ops * 5 * nsq / dt / 1e9,
+           "Gnnz/s",
+           f"{gr}x{gcols} grid, {ops} applies in {dt*1e3:.1f} ms, "
+           f"S0={float(S[0]):.4f}")
+
 
 # --- config 4: real-Schur Arnoldi + expintegrator Hamiltonian step ---
 def config4():

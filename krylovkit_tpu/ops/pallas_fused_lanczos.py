@@ -152,6 +152,25 @@ def supported_stencil(offsets) -> bool:
     return _chain_spec(offsets, (0.0,) * len(offsets)) is not None
 
 
+def adjoint_spec(op) -> Optional[StencilSpec]:
+    """Kernel spec of ``Aᴴ`` for a fusable SQUARE stencil operator (the
+    reversed stencil with conjugated coefficients) — the in-kernel adjoint
+    apply of the fused GKL bidiagonalization (``factorizations/gkl.py``)."""
+    from .operator import GridStencilOperator, StencilOperator
+
+    if isinstance(op, GridStencilOperator):
+        if any(isinstance(c, complex) for c in op.coeffs):
+            return None
+        adj_off = tuple((-dy, -dx) for dy, dx in reversed(op.offsets2))
+        return _grid_spec(op.grid, adj_off, tuple(reversed(op.coeffs)))
+    if isinstance(op, StencilOperator):
+        if any(isinstance(c, complex) for c in op.coeffs):
+            return None
+        adj_off = tuple(-d for d in reversed(op.offsets))
+        return _chain_spec(adj_off, tuple(reversed(op.coeffs)))
+    return None
+
+
 def choose_tile(R: int, tile_rows: int = 256, h: int = 1) -> int:
     """The row-tile size ``fused_step`` will use for ``R`` rows with halo
     depth ``h`` (each tile's halo must fit inside one neighbour tile)."""

@@ -47,6 +47,8 @@ class _LoopState(NamedTuple):
     Q: jax.Array  # (m+1, m+1) sorted right singular vectors of projected B
     resnorms: jax.Array
     done: jax.Array
+    scU: Any  # codomain basis bookkeeping (identity unless fused kernels)
+    scV: Any  # domain basis bookkeeping
 
 
 def _process(B, k, beta, which, tol):
@@ -66,7 +68,8 @@ def _process(B, k, beta, which, tol):
     return nconv.astype(jnp.int32), s, P, Q, res
 
 
-def _restart(fact: gf.GKLState, svals, P, Q, beta, keep, keep_max: int, gate=None):
+def _restart(fact: gf.GKLState, svals, P, Q, beta, keep, keep_max: int,
+             gate=None, scales=None):
     """Thick restart to broken-arrow form of size ``keep``:
     ``A Ṽ = Ũ Σ + β u_k Q[k-1, :]`` (see factorizations/gkl.py docstring).
 
@@ -83,6 +86,13 @@ def _restart(fact: gf.GKLState, svals, P, Q, beta, keep, keep_max: int, gate=Non
     eye = jnp.eye(m1, dtype=P.dtype)
     # domain basis: kept right singular vectors
     Qkeep = jnp.where(keepmask, Q, 0)
+    if scales is not None:
+        # fused-kernel mode: stored rows are raw with true basis
+        # v_j = Σ_i L[i,j]·row_i — rotations act as L·Q / L·P (lanczos.py)
+        Qkeep = jnp.matmul(
+            scales[1].astype(Q.dtype), Qkeep,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if gate is not None:
         Qkeep = jnp.where(gate, Qkeep, eye)
     Vnew = bs.transform_partial(V, Qkeep, keep_max + 1)
@@ -91,6 +101,11 @@ def _restart(fact: gf.GKLState, svals, P, Q, beta, keep, keep_max: int, gate=Non
     Pkeep = Pkeep + jax.nn.one_hot(k, m1, dtype=P.dtype)[:, None] * jax.nn.one_hot(
         keep, m1, dtype=P.dtype
     )[None, :]
+    if scales is not None:
+        Pkeep = jnp.matmul(
+            scales[0].astype(P.dtype), Pkeep,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if gate is not None:
         Pkeep = jnp.where(gate, Pkeep, eye)
     Unew = bs.transform_partial(U, Pkeep, keep_max + 1)
@@ -140,6 +155,19 @@ def svdsolve_gkl(
 
     fact0 = gf.initialize(op, x0, m, cdt, space, verbosity=alg.verbosity)
     m1 = m + 1
+    from ..factorizations import krylov as kf
+    from ..ops import orthonormal as on
+
+    # fused one-stream GKL kernels (factorizations/gkl.py): square fusable
+    # stencils, both cgs-family orthogonalizers (the kernel path always runs
+    # the immediate scalar-space DGKS correction — cgs2 orthogonality)
+    fused = (
+        not alg.eager
+        and type(alg.orth) in (on.ClassicalGramSchmidt,
+                               on.ClassicalGramSchmidt2)
+        and cdt == jnp.float32
+        and gf.fused_kernel_available(op, x0, space, m1)
+    )
     st0 = _LoopState(
         fact=fact0,
         numiter=jnp.int32(0),
@@ -150,6 +178,8 @@ def svdsolve_gkl(
         Q=jnp.zeros((m1, m1), cdt),
         resnorms=jnp.full((m1,), jnp.inf, rdt),
         done=jnp.asarray(False),
+        scU=kf.fused_scales_init(m1),
+        scV=kf.fused_scales_init(m1),
     )
 
     def expand_one(c):
@@ -172,9 +202,17 @@ def svdsolve_gkl(
                 )
             return go
 
-        fact, numops, _ = jax.lax.while_loop(
-            inner_cond, expand_one, (fact, numops, jnp.int32(0))
-        )
+        if fused:
+            fact, scU, scV, dops = gf.fused_expansions(
+                op, fact, st.scU, st.scV, m, btol, space,
+                verbosity=alg.verbosity,
+            )
+            numops = numops + dops
+        else:
+            scU, scV = st.scU, st.scV
+            fact, numops, _ = jax.lax.while_loop(
+                inner_cond, expand_one, (fact, numops, jnp.int32(0))
+            )
 
         nconv, svals, P, Q, res = _process(fact.B, fact.k, fact.beta, which, tol)
         full = fact.k >= m
@@ -205,9 +243,27 @@ def svdsolve_gkl(
             # non-eager: every processing but the last restarts — run the
             # masked (gated) restart unconditionally, avoiding cond copies
             fact = _restart(
-                fact, svals, P, Q, fact.beta, keep, keep_max, gate=restart_now
+                fact, svals, P, Q, fact.beta, keep, keep_max,
+                gate=restart_now,
+                scales=(scU.L, scV.L) if fused else None,
             )
-        return _LoopState(fact, numiter, numops, nconv, svals, P, Q, res, done)
+        # restart renormalizes both bases; the broken-arrow buffer seeds the
+        # stored-row images of the fused mode (A V = U·B, Aᴴ U = V·Bᵀ exact)
+        if fused:
+            scU_f = kf.fused_scales_init(m1)._replace(
+                Hs=jnp.real(fact.B).astype(jnp.float32).T
+            )
+            scV_f = kf.fused_scales_init(m1)._replace(
+                Hs=jnp.real(fact.B).astype(jnp.float32)
+            )
+            scU = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(restart_now, a, b), scU_f, scU
+            )
+            scV = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(restart_now, a, b), scV_f, scV
+            )
+        return _LoopState(fact, numiter, numops, nconv, svals, P, Q, res,
+                          done, scU, scV)
 
     st = jax.lax.while_loop(lambda s: jnp.logical_not(s.done), outer_body, st0)
     nconv_out = jnp.minimum(st.nconv, howmany)
@@ -227,8 +283,10 @@ def svdsolve_gkl(
     rows = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m1, m1), 1)
     hm = (rows < fact.k) & (cols < howmany)
-    Us = bs.transform(fact.U, jnp.where(hm, st.P, 0))
-    Vs = bs.transform(fact.V, jnp.where(hm, st.Q, 0))
+    from ..factorizations import krylov as kf
+
+    Us = bs.transform(fact.U, kf.fold_scales(st.scU, jnp.where(hm, st.P, 0)))
+    Vs = bs.transform(fact.V, kf.fold_scales(st.scV, jnp.where(hm, st.Q, 0)))
     lvecs = jax.tree_util.tree_map(lambda l: l[:howmany], Us)
     rvecs = jax.tree_util.tree_map(lambda l: l[:howmany], Vs)
     # residuals r_i = β·Q[k-1, i]·u_k  (A ṽ_i − σ_i ũ_i)
@@ -236,7 +294,10 @@ def svdsolve_gkl(
         st.Q, jnp.maximum(fact.k - 1, 0), 0, keepdims=False
     )
     s = fact.beta * lastrow
-    uk = bs.get(fact.U, fact.k)
+    LUk = jax.lax.dynamic_slice(
+        st.scU.L, (jnp.int32(0), jnp.asarray(fact.k, jnp.int32)), (m1, 1)
+    )[:, 0]
+    uk = bs.unproject_bucketed(fact.U, LUk.astype(cdt), fact.k + 1)
     residuals = jax.tree_util.tree_map(
         lambda l: s[:howmany].reshape((howmany,) + (1,) * l.ndim) * l[None], uk
     )

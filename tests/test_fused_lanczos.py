@@ -264,6 +264,9 @@ def test_fused_exponentiate_matches_unfused():
     )
     out = {}
     for flag in (False, True):
+        from krylovkit_tpu.solvers.expintegrator import _expintegrator_core
+
+        _expintegrator_core.clear_cache()
         old = kf.use_fused_expansion
         kf.use_fused_expansion = flag
         try:
@@ -620,6 +623,9 @@ def test_fused_dgks_exponentiate():
     )
     out = {}
     for flag in (False, True):
+        from krylovkit_tpu.solvers.expintegrator import _expintegrator_core
+
+        _expintegrator_core.clear_cache()
         old = kf.use_fused_expansion
         kf.use_fused_expansion = flag
         try:
@@ -633,3 +639,92 @@ def test_fused_dgks_exponentiate():
                                atol=1e-6)
     assert out[True][1] == out[False][1]
     assert out[True][2] == out[False][2] == 1
+
+
+# ---------------------------------------------------------------------------
+# Fused one-stream GKL (svdsolve) — square stencil maps, round 5
+# ---------------------------------------------------------------------------
+
+
+def _svd_solve(op, x0, fused, **kw):
+    # the front-end's internal module-level jit caches across the fused
+    # toggle (a trace-time global) — clear it so the flag takes effect
+    from krylovkit_tpu.solvers.svdsolve import _svdsolve_core
+
+    _svdsolve_core.clear_cache()
+    old = kf.use_fused_expansion
+    kf.use_fused_expansion = fused
+    try:
+        return jax.jit(lambda x: kk.svdsolve(op, x, 4, "LR", **kw))(x0)
+    finally:
+        kf.use_fused_expansion = old
+
+
+@pytest.mark.parametrize("maxiter", [1, 5])
+def test_fused_gkl_chain_matches_unfused(maxiter):
+    # non-symmetric square chain stencil: A != A^T exercises the adjoint
+    # (reversed) in-kernel stencil
+    n = 1 << 12
+    op = StencilOperator((-2, 0, 1), (0.4, 1.0, -0.8))
+    x0 = jnp.asarray(
+        np.random.default_rng(51).standard_normal((n // 128, 128)), jnp.float32
+    )
+    from krylovkit_tpu.factorizations import gkl as gf
+    from krylovkit_tpu.ops.vector import STANDARD as STD
+
+    assert gf.fused_kernel_available(op, x0, STD, 19)
+    kw = dict(krylovdim=18, maxiter=maxiter, tol=1e-6)  # default orth=cgs2
+    S0, U0, V0, i0 = _svd_solve(op, x0, False, **kw)
+    S1, U1, V1, i1 = _svd_solve(op, x0, True, **kw)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S0), rtol=5e-4)
+    assert int(i0.numops) == int(i1.numops)
+    assert int(i0.numiter) == int(i1.numiter)
+    for a, b in zip(U0, U1):
+        np.testing.assert_allclose(
+            float(jnp.abs(jnp.vdot(a, b))), 1.0, rtol=2e-3
+        )
+    for a, b in zip(V0, V1):
+        np.testing.assert_allclose(
+            float(jnp.abs(jnp.vdot(a, b))), 1.0, rtol=2e-3
+        )
+
+
+def test_fused_gkl_grid_and_triplet_quality():
+    # grid stencil (advection-diffusion like, non-symmetric); verify the
+    # actual SVD triplet residuals A v = s u against the operator
+    gr, gc = 32, 128
+    op = GridStencilOperator(
+        (gr, gc), ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)),
+        (4.0, -1.5, -0.5, -1.2, -0.8),
+    )
+    x0 = jnp.asarray(
+        np.random.default_rng(52).standard_normal((gr, 128)), jnp.float32
+    )
+    S, U, V, info = _svd_solve(op, x0, True, krylovdim=20, maxiter=25,
+                               tol=1e-3)
+    assert int(info.converged) >= 2
+    for i in range(int(info.converged)):
+        u, v = U[i], V[i]
+        np.testing.assert_allclose(float(jnp.linalg.norm(u)), 1.0, rtol=1e-3)
+        np.testing.assert_allclose(float(jnp.linalg.norm(v)), 1.0, rtol=1e-3)
+        r1 = op.normal(v) - S[i] * u
+        r2 = op.adjoint(u) - S[i] * v
+        assert float(jnp.linalg.norm(r1)) < 5e-3 * float(S[0])
+        assert float(jnp.linalg.norm(r2)) < 5e-3 * float(S[0])
+
+
+def test_fused_gkl_gate():
+    from krylovkit_tpu.factorizations import gkl as gf
+    from krylovkit_tpu.ops.vector import STANDARD as STD
+
+    n = 1 << 12
+    x0 = jnp.ones((n // 128, 128), jnp.float32)
+    op = StencilOperator((-1, 0, 1), (-1.0, 2.0, -1.0))
+    assert gf.fused_kernel_available(op, x0, STD, 31)
+    assert not gf.fused_kernel_available(op, x0, STD, 64)  # 2k+2 > 128
+    # rectangular (non-stencil) operators stay on the unfused path
+    from krylovkit_tpu.ops.operator import as_operator
+
+    assert not gf.fused_kernel_available(
+        as_operator(lambda x: 2 * x), x0, STD, 31
+    )
