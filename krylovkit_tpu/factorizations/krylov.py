@@ -456,9 +456,17 @@ def fused_available(op, x0, space: VectorSpace, kmax=None) -> bool:
     if l.shape[0] % 8 != 0 or l.shape[0] < 16:
         return False
     # grid vectors must cover the grid exactly (zero halos at the array
-    # ends ARE the grid's top/bottom Dirichlet boundary)
-    if spec.gc and l.shape[0] * 128 != spec.gr * spec.gc:
-        return False
+    # ends ARE the grid's top/bottom Dirichlet boundary); under shard_map
+    # (space.psum_axis) the per-shard rows must cut WHOLE grid rows so the
+    # kernel's local grid-column phase equals the global one
+    if spec.gc:
+        nloc = l.shape[0] * 128
+        if space.psum_axis is not None:
+            if nloc % spec.gc != 0:
+                return False
+            nloc = nloc * jax.lax.axis_size(space.psum_axis)
+        if nloc != spec.gr * spec.gc:
+            return False
     try:
         pf.choose_tile(l.shape[0], h=spec.h)
     except ValueError:
@@ -573,6 +581,27 @@ def _step_coeffs(r, d, rp, q, sc: FusedScales, k, dgks: bool):
     return csub, lam, h, alpha, FusedScales(L, s, Hs, M)
 
 
+def _edge_fix(cache, first, last, axis):
+    """Replace the shard-edge halo planes of a per-shard boundary cache with
+    the neighbouring shards' edge rows via ``ppermute`` (zeros arrive at the
+    global ends — the Dirichlet boundary).  ``cache``: ``lead + (nt, 2, h,
+    C)``; ``first``/``last``: ``lead + (h, C)`` — the shard's own outermost
+    rows.  This is ALL the communication the sharded fused expansion needs:
+    O(h·128) elements per step per direction, vs the unfused path's
+    full-vector halo traffic per operator apply."""
+    n = jax.lax.axis_size(axis)
+    from_left = jax.lax.ppermute(
+        last, axis, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_right = jax.lax.ppermute(
+        first, axis, [(i + 1, i) for i in range(n - 1)]
+    )
+    nt = cache.shape[-4]
+    cache = cache.at[..., 0, 0, :, :].set(from_left)
+    cache = cache.at[..., nt - 1, 1, :, :].set(from_right)
+    return cache
+
+
 def make_fused_stepper(op, kmax: int, dgks: bool, space: VectorSpace):
     """Bind the static pieces of the fused expansion and return
     ``(prime, advance, tail)`` closures over an explicit carry tuple
@@ -608,9 +637,14 @@ def make_fused_stepper(op, kmax: int, dgks: bool, space: VectorSpace):
         d = jnp.zeros((kmax,), jnp.float32)  # top-row drift unmeasured: no
         # deferred correction for the entry row (fresh/restart rows are
         # orthonormal; the re-entry row forgoes one correction)
-        T = pf.choose_tile(Vl.shape[1], h=spec.h)
-        Vbc = pf.boundary_cache(Vl, T, spec.h)
-        ybc = pf.boundary_cache(yl, T, spec.h)
+        h = spec.h
+        T = pf.choose_tile(Vl.shape[1], h=h)
+        Vbc = pf.boundary_cache(Vl, T, h)
+        ybc = pf.boundary_cache(yl, T, h)
+        if space.psum_axis is not None:
+            ax = space.psum_axis
+            Vbc = _edge_fix(Vbc, Vl[:, :h, :], Vl[:, -h:, :], ax)
+            ybc = _edge_fix(ybc, yl[:h, :], yl[-h:, :], ax)
         return (Vl, yl, Vbc, ybc, r, d, rp, q, sc, jnp.asarray(k0, jnp.int32))
 
     def advance(carry):
@@ -645,12 +679,23 @@ def make_fused_stepper(op, kmax: int, dgks: bool, space: VectorSpace):
         )
         from ..ops import pallas_fused_lanczos as pf2
 
+        if space.psum_axis is not None:
+            # per-shard kernel partials → global reductions (one fused psum)
+            ax = space.psum_axis
+            rn, dn, rpn, qn = jax.lax.psum((rn, dn, rpn, qn), ax)
+        wplane = pf2.cache_from_tile_rows(wb)
+        yplane = pf2.cache_from_tile_rows(ynb)
+        if space.psum_axis is not None:
+            # shard-edge halos of the new row / its image from the neighbours
+            ax = space.psum_axis
+            wplane = _edge_fix(wplane, wb[0, 0], wb[-1, 1], ax)
+            yplane = _edge_fix(yplane, ynb[0, 0], ynb[-1, 1], ax)
         Vbc = jax.lax.dynamic_update_slice(
-            Vbc, pf2.cache_from_tile_rows(wb)[None],
+            Vbc, wplane[None],
             (jnp.asarray(k + 1, jnp.int32), jnp.int32(0), jnp.int32(0),
              jnp.int32(0), jnp.int32(0)),
         )
-        ybc = pf2.cache_from_tile_rows(ynb)
+        ybc = yplane
         beta = jnp.sqrt(qn)
         L, s, Hs, M = sc
         s = jnp.where(idx == k + 1, _safe_inv(beta), s)
@@ -680,6 +725,8 @@ def make_fused_stepper(op, kmax: int, dgks: bool, space: VectorSpace):
         Vtree = jax.tree_util.tree_unflatten(V_treedef, [Vl])
         Wl = lam * yl - leaf_of(bs.unproject_bucketed(Vtree, csub, k + 1))
         qn = jnp.sum(Wl * Wl)
+        if space.psum_axis is not None:
+            qn = jax.lax.psum(qn, space.psum_axis)
         beta = jnp.sqrt(qn)
         old_row = jax.lax.dynamic_index_in_dim(Vl, k + 1, 0, keepdims=False)
         Vl = jax.lax.dynamic_update_index_in_dim(

@@ -220,6 +220,9 @@ def project(V: PyTree, x: PyTree, k, space: VectorSpace = STANDARD) -> jax.Array
             )
             parts.append(c)
         c = sum(parts[1:], parts[0])
+        if space.psum_axis is not None:
+            # shard-local rows under shard_map: one psum finishes the batch
+            c = jax.lax.psum(c, space.psum_axis)
         if space.real_inner:
             c = jnp.real(c)
     else:

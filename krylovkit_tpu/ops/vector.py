@@ -56,13 +56,21 @@ class VectorSpace:
         vector space as a real one, enabling ``reallinsolve``/``realeigsolve``
         for linear maps that are only R-linear (reference
         ``src/KrylovKit.jl:243-256``).
+      psum_axis: mesh axis name for SHARD-LOCAL execution under ``shard_map``:
+        inner products (and the batched projections in ``ops.basis``) compute
+        local partials and finish with one ``lax.psum`` over this axis.  This
+        is how whole solvers run inside ``shard_map`` with explicit
+        collectives — the config-5 pod-scale mode (SURVEY.md §5.8).
     """
 
     inner_fn: Optional[Callable[[PyTree, PyTree], jax.Array]] = None
     real_inner: bool = False
+    psum_axis: Optional[str] = None
 
     def inner(self, x: PyTree, y: PyTree) -> jax.Array:
         ip = self.inner_fn(x, y) if self.inner_fn is not None else _tree_inner(x, y)
+        if self.psum_axis is not None:
+            ip = jax.lax.psum(ip, self.psum_axis)
         if self.real_inner:
             ip = jnp.real(ip)
         return ip

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ..ops.operator import LinearOperator, StencilOperator
 
-__all__ = ["laplacian_1d", "poisson_2d", "sharded_laplacian_1d"]
+__all__ = ["laplacian_1d", "poisson_2d", "shard_local_stencil",
+           "sharded_laplacian_1d"]
 
 
 def laplacian_1d(n: int, dtype=jnp.float32, dirichlet: bool = True) -> LinearOperator:
@@ -100,3 +101,91 @@ def sharded_laplacian_1d(
         return jax.lax.with_sharding_constraint(y, NamedSharding(mesh, spec))
 
     return LinearOperator(apply, apply)
+
+
+def shard_local_stencil(op, axis: str):
+    """Shard-local wrapper of a fusable stencil operator for use INSIDE
+    ``shard_map`` with the vector's row dimension split over mesh axis
+    ``axis``: the XLA apply exchanges ``h`` edge rows with the neighbouring
+    shards via ``ppermute`` (zeros arrive at the global ends — the Dirichlet
+    boundary), applies the stencil on the haloed strip, and slices the
+    interior.  The static stencil metadata is preserved, so the fused
+    one-stream expansion (``ops/pallas_fused_lanczos.py``) stays eligible —
+    its boundary caches take the SAME edge rows through the stepper's
+    ``ppermute`` fix (``factorizations/krylov.py:_edge_fix``), which is all
+    the communication the fused path needs per step.
+
+    Chains (:class:`~..ops.operator.StencilOperator`) and grids
+    (:class:`~..ops.operator.GridStencilOperator`, shard boundaries must cut
+    whole grid rows) are supported."""
+    from ..ops.operator import GridStencilOperator, StencilOperator
+    from ..ops import pallas_fused_lanczos as pf
+
+    spec = pf.spec_for(op)
+    if spec is None:
+        raise ValueError("shard_local_stencil requires a fusable stencil op")
+    h = spec.h
+    if spec.mrow:
+        # grid ops: round the exchanged halo up to whole grid rows so the
+        # haloed strip keeps grid-column phase (shards must cut whole grid
+        # rows: R_local·128 % grid_cols == 0)
+        h = -(-h // spec.mrow) * spec.mrow
+
+    def _mk(inner_apply, grid_offset_rows):
+        def apply(x):
+            # x: (R_local, 128) shard rows
+            n = jax.lax.axis_size(axis)
+            left = jax.lax.ppermute(
+                x[-h:], axis, [(i, i + 1) for i in range(n - 1)]
+            )
+            right = jax.lax.ppermute(
+                x[:h], axis, [(i + 1, i) for i in range(n - 1)]
+            )
+            strip = jnp.concatenate([left, x, right], axis=0)
+            return inner_apply(strip, grid_offset_rows)[h:-h]
+
+        return apply
+
+    if isinstance(op, GridStencilOperator):
+        gr, gc = op.grid
+
+        def inner(strip, _):
+            # per-shard grid rows: the wrapper only supports shard cuts at
+            # whole grid rows (gc % 128 == 0 guaranteed by spec_for); the
+            # strip is treated as its own flattened sub-grid — valid because
+            # dy reaches at most h rows and dx masking is row-local
+            rows = strip.shape[0] * 128 // gc
+            sub = GridStencilOperator((rows, gc), op.offsets2, op.coeffs)
+            return sub.normal(strip)
+
+        normal = _mk(inner, 0)
+        adj = GridStencilOperator(
+            op.grid,
+            tuple((-dy, -dx) for dy, dx in reversed(op.offsets2)),
+            tuple(reversed(op.coeffs)),
+        )
+
+        def inner_a(strip, _):
+            rows = strip.shape[0] * 128 // gc
+            sub = GridStencilOperator((rows, gc), adj.offsets2, adj.coeffs)
+            return sub.normal(strip)
+
+        return GridStencilOperator(
+            op.grid, op.offsets2, op.coeffs, normal=normal,
+            adjoint=_mk(inner_a, 0),
+        )
+
+    assert isinstance(op, StencilOperator)
+
+    def inner(strip, _):
+        return StencilOperator(op.offsets, op.coeffs).normal(strip)
+
+    adj_off = tuple(-d for d in reversed(op.offsets))
+    adj_cf = tuple(reversed(op.coeffs))
+
+    def inner_a(strip, _):
+        return StencilOperator(adj_off, adj_cf).normal(strip)
+
+    return StencilOperator(
+        op.offsets, op.coeffs, normal=_mk(inner, 0), adjoint=_mk(inner_a, 0)
+    )

@@ -728,3 +728,99 @@ def test_fused_gkl_gate():
     assert not gf.fused_kernel_available(
         as_operator(lambda x: 2 * x), x0, STD, 31
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded fused expansion (round 5): whole solve inside shard_map
+# ---------------------------------------------------------------------------
+
+
+def _sharded_eigsolve(op_global, x0_global, alg, howmany, fused, grid=False):
+    from functools import partial
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from krylovkit_tpu.ops.vector import VectorSpace
+    from krylovkit_tpu.parallel import shard_local_stencil
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("vec",))
+    space = VectorSpace(psum_axis="vec")
+    op_local = shard_local_stencil(op_global, "vec")
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P("vec", None),
+        out_specs=(P(), P(None, "vec", None), P()),
+        check_vma=False,
+    )
+    def run(x0):
+        vals, vecs, info = eigsolve_lanczos(
+            op_local, x0, howmany, "LM", alg, space=space
+        )
+        return vals, vecs, (info.converged, info.numiter, info.numops)
+
+    old = kf.use_fused_expansion
+    kf.use_fused_expansion = fused
+    try:
+        x0s = jax.device_put(
+            x0_global, NamedSharding(mesh, P("vec", None))
+        )
+        return jax.jit(run)(x0s)
+    finally:
+        kf.use_fused_expansion = old
+
+
+@pytest.mark.parametrize("orth_name", ["cgs", "cgs2"])
+def test_sharded_fused_eigsolve_matches_unsharded(orth_name):
+    # full Lanczos eigsolve inside shard_map over a 4-device vec axis:
+    # the fused kernel runs per shard with ppermute halo fixes on the
+    # boundary caches; compare against the single-device fused result
+    n = 1 << 15  # 256 rows -> 64 rows/shard
+    op = laplacian_1d(n, jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(61).standard_normal((n // 128, 128)), jnp.float32
+    )
+    alg = kk.Lanczos(krylovdim=16, maxiter=4, tol=1e-6,
+                     orth=getattr(kk, orth_name))
+    v_ref, e_ref, i_ref = _solve(op, x0, alg, fused=True)
+
+    vals, vecs, (conv, numiter, numops) = _sharded_eigsolve(
+        op, x0, alg, 4, fused=True
+    )
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(v_ref), rtol=2e-4)
+    assert int(numiter) == int(i_ref.numiter)
+    assert int(numops) == int(i_ref.numops)
+    for i in range(4):
+        a = np.asarray(vecs[i]).reshape(-1)
+        b = np.asarray(e_ref[i]).reshape(-1)
+        np.testing.assert_allclose(abs(np.dot(a, b)), 1.0, rtol=1e-3)
+
+    # and against the sharded UNFUSED result (same shard_map harness)
+    vals_u, _, (conv_u, numiter_u, numops_u) = _sharded_eigsolve(
+        op, x0, alg, 4, fused=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(vals_u), rtol=2e-4
+    )
+    assert int(numops) == int(numops_u)
+
+
+def test_sharded_fused_grid_eigsolve():
+    # 2-D Poisson grid sharded over whole grid rows (64 grid rows of 256
+    # columns -> 128 layout rows, 32/shard)
+    from krylovkit_tpu.parallel import poisson_2d
+
+    gr, gc = 64, 256
+    op = poisson_2d(gr, gc, jnp.float32)
+    x0 = jnp.asarray(
+        np.random.default_rng(62).standard_normal((gr * gc // 128, 128)),
+        jnp.float32,
+    )
+    alg = kk.Lanczos(krylovdim=16, maxiter=3, tol=1e-6)
+    v_ref, e_ref, i_ref = _solve(op, x0, alg, fused=True)
+    vals, vecs, (conv, numiter, numops) = _sharded_eigsolve(
+        op, x0, alg, 4, fused=True, grid=True
+    )
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(v_ref), rtol=2e-4)
+    assert int(numops) == int(i_ref.numops)
