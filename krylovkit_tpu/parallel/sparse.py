@@ -58,6 +58,20 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+def _stable_order(keys):
+    """Stable grouping permutation of an integer key array.  torch's CPU
+    ``argsort(stable=True)`` is a multithreaded radix sort — an order of
+    magnitude faster than numpy's single-thread timsort at 10⁸ keys; numpy
+    remains the fallback when torch is unavailable."""
+    try:
+        import torch
+
+        t = torch.from_numpy(np.ascontiguousarray(keys))
+        return torch.argsort(t, stable=True).numpy()
+    except Exception:
+        return np.argsort(keys, kind="stable")
+
+
 def coo_to_ell(rows, cols, vals, n_rows: int):
     """Vectorized COO→ELLPACK packing.  Returns ``(ell_cols, ell_vals, valid)``
     of shape ``(n_rows, width)``; padding slots have ``valid=False``.
@@ -71,13 +85,15 @@ def coo_to_ell(rows, cols, vals, n_rows: int):
     vals = np.asarray(vals)
     # group by row only — ELL slots within a row are order-free, so a single
     # stable key sort replaces the 2-key lexsort; already-row-sorted input
-    # (CSR-style streams) skips the sort entirely.  Measured at 107M nnz
-    # (tools/bench_planner.py): 42-46 s (lexsort) → 33-34 s (stable argsort)
-    # per direction; the remainder is the 3 gathers + the ELL scatter.
+    # (CSR-style streams) skips the sort entirely.  numpy's stable argsort
+    # for 32/64-bit ints is single-thread timsort (~33 s/direction at 107M
+    # nnz — the round-4 ingest bottleneck); torch's CPU stable sort is a
+    # PARALLEL radix sort, so route the permutation through it when
+    # available (tools/bench_planner.py records the split).
     if rows.size and np.all(rows[1:] >= rows[:-1]):
         r, c, v = rows, cols, vals
     else:
-        order = np.argsort(rows, kind="stable")
+        order = _stable_order(rows)
         r, c, v = rows[order], cols[order], vals[order]
     counts = np.bincount(r, minlength=n_rows)
     width = int(counts.max()) if counts.size else 0
