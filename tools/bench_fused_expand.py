@@ -175,6 +175,11 @@ def main():
     for B in (8, 16, 24, 31):
         for T in (256, 512):
             bench(1 << 21, B, min(B, 30), tile_rows=T)
+    # B=8 runs at 533 GB/s vs 766+ for B>=16 (fixed small-kernel overheads,
+    # VERDICT r4 item 7): larger tiles amortize per-tile overhead — sweep
+    for T in (1024, 2048):
+        bench(1 << 21, 8, 8, tile_rows=T)
+        bench(1 << 21, 16, 13, tile_rows=T)
 
 
 if __name__ == "__main__":
