@@ -90,24 +90,39 @@ def coo_to_ell(rows, cols, vals, n_rows: int):
     # nnz — the round-4 ingest bottleneck); torch's CPU stable sort is a
     # PARALLEL radix sort, so route the permutation through it when
     # available (tools/bench_planner.py records the split).
-    if rows.size and np.all(rows[1:] >= rows[:-1]):
-        r, c, v = rows, cols, vals
+    # int32 throughout: row ids < n_rows, slot ids < width, and flat ELL
+    # indices < n_rows·width all fit — on hosts where first-touch page
+    # faults dominate (measured ~40-80 MB/s on this VM, tools/bench_planner
+    # notes) halving the bytes halves the wall clock of the whole pack
+    rows32 = rows if rows.dtype == np.int32 else rows.astype(np.int32)
+    cols32 = cols if cols.dtype == np.int32 else cols.astype(np.int32)
+    if rows.size and np.all(rows32[1:] >= rows32[:-1]):
+        r, c, v = rows32, cols32, vals
     else:
-        order = _stable_order(rows)
-        r, c, v = rows[order], cols[order], vals[order]
+        order = _stable_order(rows32)
+        r, c, v = rows32[order], cols32[order], vals[order]
     counts = np.bincount(r, minlength=n_rows)
     width = int(counts.max()) if counts.size else 0
     width = max(width, 1)
-    starts = np.zeros(n_rows + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    pos = np.arange(len(r), dtype=np.int64) - starts[r]
-    ell_cols = np.zeros((n_rows, width), np.int32)
-    ell_vals = np.zeros((n_rows, width), vals.dtype)
-    valid = np.zeros((n_rows, width), bool)
-    ell_cols[r, pos] = c
-    ell_vals[r, pos] = v
-    valid[r, pos] = True
-    return ell_cols, ell_vals, valid
+    starts = np.zeros(n_rows + 1, np.int32)
+    starts[1:] = np.cumsum(counts)
+    # flat ELL index built IN PLACE: flat = arange − starts[r] (= slot) then
+    # += r·width; `valid` needs no scatter (slots fill left-to-right:
+    # valid[i, j] ⇔ j < counts[i])
+    flat = np.arange(len(r), dtype=np.int32)
+    flat -= starts[r]
+    flat += r * np.int32(width)  # (r may alias the caller's array — no
+    # in-place mutation)
+    ell_cols = np.zeros(n_rows * width, np.int32)
+    ell_vals = np.zeros(n_rows * width, vals.dtype)
+    ell_cols[flat] = c
+    ell_vals[flat] = v
+    valid = np.arange(width, dtype=counts.dtype)[None, :] < counts[:, None]
+    return (
+        ell_cols.reshape(n_rows, width),
+        ell_vals.reshape(n_rows, width),
+        valid,
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,11 +150,16 @@ def _plan_shard(ell_cols, ell_vals, valid, m, n, D):
 
     Fully vectorized: one global group-by over ``(shard, δ, column)`` replaces
     any per-shard Python loops.  Measured (tools/bench_planner.py, 107M-nnz
-    banded, D=8, 2026-08-20): pure ``_plan_shard`` is **2.5-3.0 s per
-    direction**; end-to-end operator construction is dominated by the
-    ``coo_to_ell`` packing (~34 s/direction at 107M — sort + gathers +
-    scatter) and the sharded ``device_put`` (~4-8 s steady state, ~26 s on
-    first backend touch).
+    banded, D=8; min-of-runs — this VM's first-touch page faults run at
+    ~40-80 MB/s and dominate wall clock, so identical runs vary up to 5×):
+    round 4 put ``coo_to_ell`` at ~34 s/direction, bottlenecked by numpy's
+    single-thread int64 timsort (~28 s alone).  Round 5 routes the sort
+    through torch's radix sort on int32 keys (4-6 s), computes the flat ELL
+    index in place, derives ``valid`` by broadcast instead of a third
+    scatter, and keeps every 10⁸-element temporary int32 → pack
+    **12.8 s fwd / ~26 s adj** (min) with ``MALLOC_MMAP_THRESHOLD_`` set so
+    the heap retains its pages between packs; pure ``_plan_shard`` is
+    2.5-3 s/direction on a quiet host.
 
     Returns ``(local_cols (m,w) int32, local_vals (m,w),
     brows (D·B,) int32, bcols (D·B,w) int32, bvals (D·B,w),

@@ -1,5 +1,26 @@
-"""Minimal-repro probe for the XLA:CPU segfault behind the conftest
-clear_caches() workaround (many accumulated compilations in one process)."""
+"""Probe + findings for the XLA:CPU segfault behind the conftest
+clear_caches() workaround.
+
+FINDINGS (round 5, 2026-08-21):
+
+* NOT a generic compile-count budget: this script performs 400+ fresh
+  compilations (simple or while_loop-heavy, unique shapes) in one process
+  with zero crashes — run ``python tools/segfault_repro.py loop 400``.
+* DETERMINISTIC repro with the library's programs (needs the accumulated
+  LIVE executables — large 8-device-mesh while_loop nests)::
+
+      KK_NO_CLEAR_CACHES=1 python -X faulthandler -m pytest \
+          tests/test_ad.py tests/test_bieigsolve.py tests/test_block_inner.py \
+          tests/test_blocklanczos.py tests/test_dense.py tests/test_eigsolve.py -q
+
+  crashes with SIGSEGV ~44 tests in; faulthandler pins the frame to
+  ``jax/_src/compiler.py:353 backend_compile_and_load`` — i.e. INSIDE the
+  XLA:CPU client's compile-and-load of the next executable, once enough
+  compiled code is live in the process (freeing executables via
+  ``jax.clear_caches()`` per module — the conftest workaround — prevents
+  it).  Consistent with a CPU-JIT code-memory/placement failure in the
+  bundled jaxlib (jax 0.9.0), not with anything in this repo's Python.
+"""
 import os, sys
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax

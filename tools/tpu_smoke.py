@@ -122,6 +122,30 @@ def geneigsolve_smoke():
     return bool(np.isfinite(float(vals[0]))), f"val={float(vals[0]):.4f}"
 
 
+def gmres_fused_grid():
+    # round 5: fused Arnoldi cycle w/ in-loop Givens QR on a GridStencil
+    op = poisson_2d(256, 256, jnp.float32)
+    bg = jnp.ones((256 * 256 // 128, 128), jnp.float32)
+    x, info = kk.linsolve(op, bg, a0=0.5,
+                          alg=kk.GMRES(krylovdim=30, tol=1e-4, maxiter=20))
+    return bool(int(info.converged) == 1), f"normres={float(info.normres):.2e}"
+
+
+def svdsolve_fused_grid():
+    # round 5: fused one-stream GKL (normal + adjoint stencil kernels)
+    from krylovkit_tpu.ops.operator import GridStencilOperator
+
+    op = GridStencilOperator(
+        (256, 256), ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)),
+        (4.0, -1.5, -0.5, -1.2, -0.8),
+    )
+    xg = jnp.asarray(rng.standard_normal((256 * 256 // 128, 128)), jnp.float32)
+    S, U, V, info = kk.svdsolve(op, xg, 2, "LR", krylovdim=25, maxiter=30,
+                                tol=1e-3)
+    ok = bool(np.isfinite(float(S[0])) and 6.0 < float(S[0]) < 9.0)
+    return ok, f"S={np.asarray(S).round(4)}"
+
+
 def blocklanczos_smoke():
     blk = kk.Block([x2, b2])
     vals, vecs, info = kk.eigsolve(lap, blk, 2, "LM", krylovdim=None,
@@ -142,6 +166,8 @@ checks = [
     ("exponentiate", exponentiate_herm),
     ("geneigsolve/GolubYe", geneigsolve_smoke),
     ("eigsolve/BlockLanczos", blocklanczos_smoke),
+    ("GMRES fused 2-D grid", gmres_fused_grid),
+    ("svdsolve fused GKL grid", svdsolve_fused_grid),
 ]
 
 print(f"devices: {jax.devices()}")
