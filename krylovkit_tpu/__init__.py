@@ -46,7 +46,13 @@ from .factorizations.iterators import (  # noqa: F401
     residual,
     normres,
 )
-from .ops.operator import LinearOperator, ParametricOperator, as_operator  # noqa: F401
+from .ops.operator import (  # noqa: F401
+    GridStencilOperator,
+    LinearOperator,
+    ParametricOperator,
+    StencilOperator,
+    as_operator,
+)
 from .solvers.eigsolve import eigsolve, schursolve, realeigsolve  # noqa: F401
 from .solvers.linsolve import linsolve, reallinsolve  # noqa: F401
 from .solvers.svdsolve import svdsolve, realsvdsolve  # noqa: F401
