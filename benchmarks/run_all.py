@@ -196,8 +196,9 @@ def config4():
     )
 
     def solve(x0):
+        # DEFAULT kwargs: orth=cgs2 routes through the fused one-reduce DGKS
         T, vecs, (re, im), info = kk.schursolve(
-            op, x0, 4, "LM", krylovdim=30, maxiter=8, tol=1e-30, orth=kk.cgs)
+            op, x0, 4, "LM", krylovdim=30, maxiter=8, tol=1e-30)
         return re, info.numops
 
     dt, (re, numops) = timed(solve, x0)
@@ -214,7 +215,7 @@ def config4():
     # core is jitted internally)
     def step(x0):
         y, info = kk.exponentiate(neg_lap, 0.1, x0, krylovdim=30, tol=1e-4,
-                                  ishermitian=True, orth=kk.cgs)
+                                  ishermitian=True)  # default orth
         return y, info.numops
 
     y, numops = step(x0)
