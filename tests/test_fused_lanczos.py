@@ -824,3 +824,91 @@ def test_sharded_fused_grid_eigsolve():
     )
     np.testing.assert_allclose(np.asarray(vals), np.asarray(v_ref), rtol=2e-4)
     assert int(numops) == int(i_ref.numops)
+
+
+def test_edge_fix_and_shard_local_stencil():
+    # _edge_fix must reproduce the GLOBAL boundary_cache when shards are
+    # glued; shard_local_stencil must equal the global apply
+    from functools import partial
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from krylovkit_tpu.ops import pallas_fused_lanczos as pf
+    from krylovkit_tpu.parallel import shard_local_stencil
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("vec",))
+    n = 1 << 14  # 128 rows, 32/shard
+    R = n // 128
+    op = StencilOperator((-200, 0, 200), (0.3, 1.0, -0.4))  # h = 2
+    spec = spec_for(op)
+    assert spec.h == 2
+    x = jnp.asarray(
+        np.random.default_rng(71).standard_normal((R, 128)), jnp.float32
+    )
+    # global apply vs shard_map-wrapped local apply
+    op_loc = shard_local_stencil(op, "vec")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("vec", None),
+             out_specs=P("vec", None), check_vma=False)
+    def apply_sharded(xl):
+        return op_loc.normal(xl)
+
+    y_global = op.normal(x)
+    y_sharded = apply_sharded(
+        jax.device_put(x, NamedSharding(mesh, P("vec", None)))
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_global), atol=1e-5
+    )
+
+    # per-shard boundary_cache + _edge_fix == the global boundary_cache
+    T = 8  # tiles within each 32-row shard
+    h = spec.h
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P("vec", None),
+             out_specs=P("vec", None, None, None), check_vma=False)
+    def cache_sharded(xl):
+        c = pf.boundary_cache(xl, T, h)
+        return kf._edge_fix(c, xl[:h], xl[-h:], "vec")
+
+    got = np.asarray(
+        cache_sharded(jax.device_put(x, NamedSharding(mesh, P("vec", None))))
+    )
+    want = np.asarray(pf.boundary_cache(x, T, h))
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_grid_shard_cut_gate():
+    # sharded grid fused requires shard cuts at whole grid rows: a psum-space
+    # with misaligned local rows must be rejected by fused_available
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from krylovkit_tpu.ops.vector import VectorSpace
+
+    gr, gc = 32, 1280  # mrow=10 (halo h=10): an 80-row local leaf = 8 whole
+    # grid rows (aligned, T=16 >= h); a 72-row leaf misaligns (9216 % 1280)
+    op = GridStencilOperator((gr, gc), POISSON_OFF, POISSON_CF)
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("vec",))
+    space = VectorSpace(psum_axis="vec")
+    out = {}
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(None, None),
+             out_specs=P(), check_vma=False)
+    def probe(x):
+        # local leaf = 80 rows: 80*128 = 8 whole grid rows -> eligible
+        ok_aligned = kf.fused_available(op, x[:80], space, kmax=9)
+        # local leaf = 72 rows: 9216 % 1280 != 0 -> must be rejected
+        bad = kf.fused_available(op, x[:72], space, kmax=9)
+        return jnp.asarray([ok_aligned, bad])
+
+    old = kf.fused_interpret
+    kf.fused_interpret = True
+    try:
+        flags = np.asarray(probe(jnp.ones((80, 128), jnp.float32)))
+    finally:
+        kf.fused_interpret = old
+    assert flags[0] and not flags[1], flags
